@@ -1,0 +1,37 @@
+"""Normalization primitives (NHWC).
+
+Channel LayerNorm matches the reference's Restormer-style LayerNorm
+(FDN_arch.py:288-342): statistics over the channel axis only, biased
+variance, eps 1e-5. In NHWC this is simply a reduction over the last axis —
+no to_3d/to_4d rearrange needed (that dance exists only because the
+reference is NCHW).
+"""
+
+import jax.numpy as jnp
+
+
+def layer_norm_2d(x, weight, bias=None, eps=1e-5):
+    """Per-pixel channel LayerNorm.
+
+    bias=None  -> BiasFree variant (no mean subtraction, FDN_arch.py:296-310).
+    bias given -> WithBias variant (FDN_arch.py:313-329).
+    """
+    if bias is None:
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return x / jnp.sqrt(var + eps) * weight
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) / jnp.sqrt(var + eps) * weight + bias
+
+
+def init_layer_norm(dim, bias=True, dtype=jnp.float32):
+    p = {"weight": jnp.ones((dim,), dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((dim,), dtype)
+    return p
+
+
+def batch_norm_inference(x, weight, bias, running_mean, running_var, eps=1e-5):
+    """torch.nn.BatchNorm2d in eval mode (running statistics)."""
+    inv = weight / jnp.sqrt(running_var + eps)
+    return x * inv + (bias - running_mean * inv)
