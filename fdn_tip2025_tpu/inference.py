@@ -1,0 +1,104 @@
+"""High-level inference API: the TPU-native equivalent of the reference's
+inference_fdn_{lolblur,lolv1,multi_r}.py scripts (repo root).
+
+Design notes (TPU-first):
+  * jit per padded shape with an explicit cache — variable test resolutions
+    are bucketed by pad-to-x32 shape so XLA compiles one program per bucket
+    (LOL-Blur is a single 1120x640 bucket).
+  * batching: multiple same-shape images can be stacked for throughput.
+  * ratio semantics preserved exactly per config (SURVEY.md §7 quirks):
+    lolblur passes the LPNet sigmoid output directly
+    (inference_fdn_lolblur.py:65-71); lolv1 passes mean(gray)/pred
+    (inference_fdn_lolv1.py:58-64).
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fdn_tip2025_tpu.models import (
+    init_fdn, fdn_forward, init_fdn_lolv1, fdn_lolv1_forward,
+    init_ipredict, ipredict_forward,
+)
+from fdn_tip2025_tpu.checkpoint import load_model_from_pth
+from fdn_tip2025_tpu.checkpoint.manager import load_network
+from fdn_tip2025_tpu.ops import pad_to_multiple, unpad, grayscale
+
+
+def _load_params(path, template):
+    if path is None:
+        return template
+    if path.endswith(".pth"):
+        return load_model_from_pth(path, template)
+    return load_network(path)
+
+
+class FDNPredictor:
+    """End-to-end FDN inference: LPNet ratio -> FDN restore."""
+
+    def __init__(self, variant="lolblur", fdn_ckpt=None, lpnet_ckpt=None,
+                 key=None, dtype=jnp.float32):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        self.variant = variant
+        if variant == "lolblur":
+            self.fdn_params = _load_params(fdn_ckpt, init_fdn(k1))
+            self._fdn_fwd = fdn_forward
+        elif variant == "lolv1":
+            self.fdn_params = _load_params(fdn_ckpt, init_fdn_lolv1(k1))
+            self._fdn_fwd = fdn_lolv1_forward
+        else:
+            raise ValueError(variant)
+        self.lpnet_params = _load_params(lpnet_ckpt, init_ipredict(k2))
+        self._jit_cache = {}
+
+    def _compiled(self, shape, with_ratio):
+        key = (shape, with_ratio)
+        if key not in self._jit_cache:
+            if with_ratio:
+                def fn(fdn_p, x, ratio):
+                    return self._fdn_fwd(fdn_p, x, ratio)[0]
+
+                self._jit_cache[key] = jax.jit(fn)
+            else:
+                def fn(fdn_p, lp_p, x):
+                    pred = ipredict_forward(lp_p, x)
+                    if self.variant == "lolv1":
+                        gray = jnp.mean(grayscale(x), axis=(1, 2, 3),
+                                        keepdims=False)[:, None]
+                        ratio = gray / pred
+                    else:
+                        ratio = pred
+                    return self._fdn_fwd(fdn_p, x, ratio)[0]
+
+                self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key]
+
+    def restore(self, img, ratio=None):
+        """img: (H,W,3) or (B,H,W,3) float32 RGB [0,1]. Returns same-shape
+        restored image(s), computed at pad-to-x32 resolution then cropped
+        (image_restoration_model.py:581-583 protocol)."""
+        squeeze = img.ndim == 3
+        if squeeze:
+            img = img[None]
+        x = jnp.asarray(img, jnp.float32)
+        x, hw = pad_to_multiple(x, 32)
+        if ratio is None:
+            fn = self._compiled(x.shape, False)
+            out = fn(self.fdn_params, self.lpnet_params, x)
+        else:
+            ratio = jnp.asarray(ratio, jnp.float32).reshape(-1, 1)
+            fn = self._compiled(x.shape, True)
+            out = fn(self.fdn_params, x, ratio)
+        out = unpad(out, hw)
+        out = np.asarray(out)
+        return out[0] if squeeze else out
+
+    def predict_ratio(self, img):
+        if img.ndim == 3:
+            img = img[None]
+        x = jnp.asarray(img, jnp.float32)
+        return np.asarray(ipredict_forward(self.lpnet_params, x))

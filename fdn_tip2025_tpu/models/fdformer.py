@@ -1,0 +1,91 @@
+"""FDformer — 3-level frequency-domain U-Net transformer.
+
+Parity: reference FDN_arch.py:753-842. Encoders condition on MAR priors
+(use_light=True); decoders and refinement do not.
+"""
+
+import jax
+
+from fdn_tip2025_tpu.ops import conv2d, init_conv2d
+from fdn_tip2025_tpu.ops.norm import init_layer_norm
+from fdn_tip2025_tpu.nn import (
+    transformer_block, init_transformer_block,
+    fuse, init_fuse,
+    overlap_patch_embed, init_overlap_patch_embed,
+    downsample, init_downsample, upsample, init_upsample,
+)
+
+
+def init_fdformer(key, inp_channels=3, out_channels=3, dim=48,
+                  num_blocks=(6, 6, 10), num_refinement_blocks=4,
+                  bias=False):
+    ks = iter(jax.random.split(key, 256))
+
+    def blocks(n, d, att, use_light):
+        return {str(i): init_transformer_block(next(ks), d, bias=bias,
+                                               att=att, use_light=use_light)
+                for i in range(n)}
+
+    d1, d2, d3 = dim, dim * 2, dim * 4
+    return {
+        "patch_embed": init_overlap_patch_embed(next(ks), inp_channels, dim,
+                                                bias=bias),
+        "encoder_level1": blocks(num_blocks[0], d1, True, True),
+        "down1_2": init_downsample(next(ks), d1),
+        "encoder_level2": blocks(num_blocks[1], d2, True, True),
+        "down2_3": init_downsample(next(ks), d2),
+        "encoder_level3": blocks(num_blocks[2], d3, True, True),
+        "decoder_level3": blocks(num_blocks[2], d3, True, False),
+        "up3_2": init_upsample(next(ks), d3),
+        # Present in the reference state dict but never called in forward
+        # (FDN_arch.py:787 vs :824-827) — kept for checkpoint compatibility.
+        "reduce_chan_level2": init_conv2d(next(ks), 1, 1, d3, d2, bias=bias),
+        "decoder_level2": blocks(num_blocks[1], d2, True, False),
+        "up2_1": init_upsample(next(ks), d2),
+        "decoder_level1": blocks(num_blocks[0], d1, True, False),
+        "refinement": blocks(num_refinement_blocks, d1, True, False),
+        "fuse2": init_fuse(next(ks), d2),
+        "fuse1": init_fuse(next(ks), d1),
+        "output": init_conv2d(next(ks), 3, 3, d1, out_channels, bias=bias),
+        # Defined but unused in forward (FDN_arch.py:808); kept for ckpt.
+        "norm": {"body": init_layer_norm(3)},
+    }
+
+
+def _run_blocks(params, state, att, use_light):
+    for i in range(len(params)):
+        state = transformer_block(params[str(i)], state, att=att,
+                                  use_light=use_light)
+    return state
+
+
+def fdformer_forward(params, inp_img, ori_img=None,
+                     x_high1=None, x_high2=None, x_high3=None,
+                     x_high12=None, x_high22=None, x_high32=None,
+                     x1=None, x2=None, x3=None):
+    """x_high* = amplitude priors, x_high*2 = phase priors, x* = MAR images,
+    each at scales 1x / 2x-down / 4x-down."""
+    e1 = overlap_patch_embed(params["patch_embed"], inp_img)
+    e1 = _run_blocks(params["encoder_level1"],
+                     (e1, x_high1, x_high12, x1), True, True)[0]
+    e2 = downsample(params["down1_2"], e1)
+    e2 = _run_blocks(params["encoder_level2"],
+                     (e2, x_high2, x_high22, x2), True, True)[0]
+    e3 = downsample(params["down2_3"], e2)
+    e3 = _run_blocks(params["encoder_level3"],
+                     (e3, x_high3, x_high32, x3), True, True)[0]
+    d3 = _run_blocks(params["decoder_level3"],
+                     (e3, x_high3, x_high32, x3), True, False)[0]
+    d2 = upsample(params["up3_2"], d3)
+    d2 = fuse(params["fuse2"], d2, e2, x_high2, x_high22, x2)
+    d2 = _run_blocks(params["decoder_level2"],
+                     (d2, x_high2, x_high22, x2), True, False)[0]
+    d1 = upsample(params["up2_1"], d2)
+    d1 = fuse(params["fuse1"], d1, e1, x_high1, x_high12, x1)
+    d1 = _run_blocks(params["decoder_level1"],
+                     (d1, x_high1, x_high12, x1), True, False)[0]
+    d1 = _run_blocks(params["refinement"],
+                     (d1, x_high1, x_high12, x1), True, False)[0]
+    out = conv2d(d1, params["output"]["weight"],
+                 params["output"].get("bias"), padding=1)
+    return out + (inp_img if ori_img is None else ori_img)

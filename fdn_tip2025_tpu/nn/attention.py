@@ -1,0 +1,89 @@
+"""FDSA — Fourier-domain self-attention over 8x8 patches.
+
+Parity: reference FDN_arch.py:556-641. The per-patch rFFT/irFFT round trips
+are DFT matmuls (ops.fourier), so the whole block is conv + matmul + VPU
+elementwise — no complex dtype, fully MXU/XLA-fusable and differentiable.
+
+Computation (all on 8x8 patch half-spectra):
+  q, k, v, v_value = dwconv(1x1(x)).chunk(4)
+  V   = rfft(v) * fft_param;  V = denormal-clamp(V)
+  QK  = rfft(q) * rfft(k);    QK = denormal-clamp(QK)
+  phase_qk = angle(clamp(Q)) - angle(clamp(K))
+  out1 = irfft(polar(|V|,  phase_qk))
+  out2 = irfft(polar(|QK|, angle(V)))
+  out3 = irfft(polar(|QK|, phase_qk))
+  out  = 1x1(concat(v_value * LN_i(out_i)))
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fdn_tip2025_tpu.ops import (
+    conv2d, init_conv2d, layer_norm_2d, init_layer_norm,
+    patchify8, unpatchify8, rfft2_patch8, irfft2_patch8, replace_denormals,
+)
+from fdn_tip2025_tpu.ops.fourier import amp_phase_ri, polar_ri
+
+INNER = 4  # q, k, v, v_value
+
+
+def init_fdsa(key, dim, bias=False):
+    expand = int(dim * 1.2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "to_hidden": init_conv2d(k1, 1, 1, dim, expand * INNER, bias=bias),
+        "to_hidden_dw": init_conv2d(k2, 3, 3, expand * INNER, expand * INNER,
+                                    groups=expand * INNER, bias=bias),
+        "project_out": init_conv2d(k3, 1, 1, expand * 3, dim, bias=bias),
+        "norm1": {"body": init_layer_norm(expand)},
+        "norm2": {"body": init_layer_norm(expand)},
+        "norm3": {"body": init_layer_norm(expand)},
+        # torch shape (expand, 1, 1, 8, 5) -> ours (8, 5, expand)
+        "fft": jnp.ones((8, 5, expand), jnp.float32),
+    }
+
+
+def _ln(p, x):
+    return layer_norm_2d(x, p["body"]["weight"], p["body"]["bias"])
+
+
+def fdsa(params, x):
+    expand4 = params["to_hidden"]["weight"].shape[-1]
+    expand = expand4 // INNER
+    hidden = conv2d(x, params["to_hidden"]["weight"],
+                    params["to_hidden"].get("bias"))
+    hidden = conv2d(hidden, params["to_hidden_dw"]["weight"],
+                    params["to_hidden_dw"].get("bias"),
+                    padding=1, groups=expand4)
+    q, k, v, v_value = jnp.split(hidden, INNER, axis=-1)
+
+    qr, qi = rfft2_patch8(patchify8(q))
+    kr, ki = rfft2_patch8(patchify8(k))
+    vr, vi = rfft2_patch8(patchify8(v))
+
+    fft_p = params["fft"]
+    vr, vi = vr * fft_p, vi * fft_p
+    vr, vi = replace_denormals((vr, vi))
+
+    qkr = qr * kr - qi * ki
+    qki = qr * ki + qi * kr
+    qkr, qki = replace_denormals((qkr, qki))
+    qka = jnp.sqrt(qkr * qkr + qki * qki)
+
+    v_a, v_p = amp_phase_ri(vr, vi)
+    qr, qi = replace_denormals((qr, qi))
+    kr, ki = replace_denormals((kr, ki))
+    qkp = jnp.arctan2(qi, qr) - jnp.arctan2(ki, kr)
+
+    out1 = irfft2_patch8(*polar_ri(v_a, qkp))
+    out2 = irfft2_patch8(*polar_ri(qka, v_p))
+    out3 = irfft2_patch8(*polar_ri(qka, qkp))
+
+    out1 = _ln(params["norm1"], unpatchify8(out1))
+    out2 = _ln(params["norm2"], unpatchify8(out2))
+    out3 = _ln(params["norm3"], unpatchify8(out3))
+
+    out = jnp.concatenate(
+        [v_value * out1, v_value * out2, v_value * out3], axis=-1)
+    return conv2d(out, params["project_out"]["weight"],
+                  params["project_out"].get("bias"))

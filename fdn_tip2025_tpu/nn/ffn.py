@@ -1,0 +1,120 @@
+"""FDFFN / FCAFFN — frequency-domain feed-forward blocks.
+
+Parity: reference FDN_arch.py:430-475 (FDFFN) and :381-429 (FCAFFN).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from fdn_tip2025_tpu.ops import (
+    conv2d, init_conv2d, layer_norm_2d, init_layer_norm,
+    patchify8, unpatchify8, rfft2_patch8, irfft2_patch8, replace_denormals,
+    rfft2, irfft2, gelu,
+)
+from fdn_tip2025_tpu.ops.fourier import amp_phase_ri, polar_ri, amp_phase, polar
+
+
+def init_fdffn(key, dim, bias=False, r=2.7):
+    hidden = int(r * dim)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    return {
+        "project_in": init_conv2d(k1, 1, 1, dim, hidden, bias=bias),
+        "space": {"0": init_conv2d(k2, 3, 3, hidden, hidden, groups=hidden,
+                                   bias=bias),
+                  "2": init_conv2d(k3, 3, 3, hidden, hidden, groups=hidden,
+                                   bias=bias)},
+        # torch (hidden, 1, 1, 8, 5) -> (8, 5, hidden)
+        "ffta": jnp.ones((8, 5, hidden), jnp.float32),
+        "fftp": jnp.zeros((8, 5, hidden), jnp.float32),
+        "dwconv": init_conv2d(k4, 3, 3, hidden, hidden * 2, groups=hidden,
+                              bias=bias),
+        "project_out": init_conv2d(k5, 1, 1, hidden, dim, bias=bias),
+    }
+
+
+def fdffn(params, x, x_high=None, xp2=None, x_img=None):
+    hidden = params["project_in"]["weight"].shape[-1]
+    x = conv2d(x, params["project_in"]["weight"],
+               params["project_in"].get("bias"))
+    sp = params["space"]
+    x1 = conv2d(x, sp["0"]["weight"], sp["0"].get("bias"), padding=1,
+                groups=hidden)
+    x1 = gelu(x1)
+    x1 = conv2d(x1, sp["2"]["weight"], sp["2"].get("bias"), padding=1,
+                groups=hidden)
+
+    pr, pi = rfft2_patch8(patchify8(x))
+    pr, pi = replace_denormals((pr, pi))
+    amp, phase = amp_phase_ri(pr, pi)
+    amp = amp * params["ffta"]
+    phase = phase - params["fftp"]
+    rr, ii = polar_ri(amp, phase)
+    x = unpatchify8(irfft2_patch8(rr, ii)) + x1
+
+    g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
+               padding=1, groups=hidden)
+    g1, g2 = jnp.split(g, 2, axis=-1)
+    x = gelu(g1) * g2
+    return conv2d(x, params["project_out"]["weight"],
+                  params["project_out"].get("bias"))
+
+
+def init_fcaffn(key, dim, bias=False, r=1.0, use_light=True, use_img=True):
+    hidden = int(r * dim)
+    ks = jax.random.split(key, 10)
+    p = {
+        "project_in": init_conv2d(ks[0], 1, 1, dim, hidden, bias=bias),
+        "project_out": init_conv2d(ks[1], 1, 1, dim, hidden, bias=bias),
+    }
+    if use_light:
+        p["conv1_xa"] = init_conv2d(ks[2], 1, 1, 3, hidden, bias=bias)
+        p["conv1_xp"] = init_conv2d(ks[3], 1, 1, 3, hidden, bias=bias)
+    if use_img:
+        p["conv1_add"] = init_conv2d(ks[4], 1, 1, 3, hidden, bias=bias)
+        p["conv1_mul"] = init_conv2d(ks[5], 1, 1, 3, hidden, bias=bias)
+        p["conv3_add"] = init_conv2d(ks[6], 3, 3, hidden, hidden,
+                                     groups=hidden, bias=bias)
+        p["conv3_mul"] = init_conv2d(ks[7], 3, 3, hidden, hidden,
+                                     groups=hidden, bias=bias)
+        p["norm"] = {"body": init_layer_norm(hidden)}
+        p["dwconv"] = init_conv2d(ks[8], 3, 3, hidden, hidden * 2,
+                                  groups=hidden, bias=bias)
+    return p
+
+
+def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
+    """Cross-attention FFN conditioning on MAR amplitude (x_high), input
+    phase (xp2), and the MAR-brightened image (x_img)."""
+    h, w = x.shape[1], x.shape[2]
+    hidden = params["project_in"]["weight"].shape[-1]
+    if use_light:
+        x1 = x
+        f = rfft2(x)
+        f = replace_denormals(f)
+        x_p = jnp.angle(f) - conv2d(xp2, params["conv1_xp"]["weight"],
+                                    params["conv1_xp"].get("bias"))
+        x_a = jnp.abs(f) * conv2d(x_high, params["conv1_xa"]["weight"],
+                                  params["conv1_xa"].get("bias"))
+        x = irfft2(polar(x_a, x_p), s=(h, w))
+        nb = params["norm"]["body"]
+        x = layer_norm_2d(x, nb["weight"], nb["bias"]) * x1 + x1
+    x = conv2d(x, params["project_in"]["weight"],
+               params["project_in"].get("bias"))
+    if use_light:
+        mul = conv2d(x_img, params["conv1_mul"]["weight"],
+                     params["conv1_mul"].get("bias"))
+        mul = conv2d(mul, params["conv3_mul"]["weight"],
+                     params["conv3_mul"].get("bias"), padding=1,
+                     groups=hidden)
+        add = conv2d(x_img, params["conv1_add"]["weight"],
+                     params["conv1_add"].get("bias"))
+        add = conv2d(add, params["conv3_add"]["weight"],
+                     params["conv3_add"].get("bias"), padding=1,
+                     groups=hidden)
+        x = x * mul + add
+    g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
+               padding=1, groups=hidden)
+    g1, g2 = jnp.split(g, 2, axis=-1)
+    x = gelu(g1) * g2
+    return conv2d(x, params["project_out"]["weight"],
+                  params["project_out"].get("bias"))

@@ -79,24 +79,26 @@ _RFREQ = PATCH // 2 + 1  # 5
 
 
 @lru_cache(maxsize=None)
-def _dft_mats(dtype_name="float32"):
+def _dft_mats_np(dtype_name="float32"):
     """Precomputed real/imag DFT and inverse-DFT matrices for size 8.
 
     F[n, v] = exp(-2*pi*i*n*v/8)    (forward, rfft keeps v=0..4)
     E[m, u] = exp(+2*pi*i*m*u/8)/8  (inverse, per-axis normalized)
+
+    Cached as NUMPY arrays: caching jnp arrays here would capture tracers
+    when first touched inside a jit trace (UnexpectedTracerError).
     """
     n = np.arange(PATCH)
     ang = -2.0 * np.pi * np.outer(n, n) / PATCH
-    fc = np.cos(ang)
-    fs = np.sin(ang)
-    inv_ang = -ang
-    ec = np.cos(inv_ang) / PATCH
-    es = np.sin(inv_ang) / PATCH
-    dt = jnp.dtype(dtype_name)
+    dt = np.dtype(dtype_name)
     return (
-        jnp.asarray(fc, dt), jnp.asarray(fs, dt),
-        jnp.asarray(ec, dt), jnp.asarray(es, dt),
+        np.cos(ang).astype(dt), np.sin(ang).astype(dt),
+        (np.cos(-ang) / PATCH).astype(dt), (np.sin(-ang) / PATCH).astype(dt),
     )
+
+
+def _dft_mats(dtype_name="float32"):
+    return tuple(jnp.asarray(a) for a in _dft_mats_np(dtype_name))
 
 
 def patchify8(x):

@@ -1,0 +1,210 @@
+"""Training engine: jitted SPMD train steps for the three model families.
+
+Replaces the reference's model-wrapper classes
+(basicsr/models/image_restoration_model.py):
+  * FDNTrainer   ~ ImageRestorationModel (:104-940, active use3stage branch
+    :477-504): L1 + 0.1*FFT + 0.01*VGG-perceptual on the restored image,
+    ratio = mean(gray(lq)) / mean(gray(gt)) (:357-362), frozen MAR,
+    grad-clip global-norm 0.01, AdamW + cosine.
+  * MARTrainer   ~ ImageRestorationModel_ipretrain (:943-1463): MARLoss at
+    scales 1, 1/2, 1/4 (:1184-1192).
+  * LPNetTrainer ~ ImageRestorationModel_ipred (:1466-2165, active
+    img_i_pred branch :1793-1799): L1(pred_ratio, mean(gray(gt))).
+
+TPU-first design: params live replicated on a jax.sharding.Mesh, batches
+are batch-sharded, gradients reduce over ICI via XLA (no DDP/NCCL code),
+and each step is one compiled program with donated buffers.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fdn_tip2025_tpu.models import (
+    init_fdn, fdn_forward, init_fdn_lolv1, fdn_lolv1_forward,
+    init_mar, mar_forward, init_ipredict,
+)
+from fdn_tip2025_tpu.models.ipredict_train import (
+    ipredict_forward_train, merge_bn_stats,
+)
+from fdn_tip2025_tpu.ops import grayscale
+from fdn_tip2025_tpu.train import losses as L
+from fdn_tip2025_tpu.train.schedulers import build_scheduler, with_warmup
+from fdn_tip2025_tpu.train.optim import build_optimizer
+from fdn_tip2025_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate_tree,
+)
+
+
+def compute_ratio(lq, gt=None, use_ratio=True):
+    """Brightness ratio (B, 1): mean-gray(lq) / mean-gray(gt)."""
+    glq = jnp.mean(grayscale(lq), axis=(1, 2, 3))[:, None]
+    if not use_ratio or gt is None:
+        return glq
+    ggt = jnp.mean(grayscale(gt), axis=(1, 2, 3))[:, None]
+    return glq / ggt
+
+
+class BaseTrainer:
+    """Owns params/opt_state, the jitted step, schedulers, mesh sharding."""
+
+    def __init__(self, opt, mesh=None, vgg_params=None):
+        self.opt = opt
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.use_ratio = bool(opt.get("use_ratio", True))
+        train_opt = opt["train"]
+        base_lr = float(train_opt["optim_g"]["lr"])
+        total_iter = int(train_opt["total_iter"])
+        self.total_iter = total_iter
+        sched = build_scheduler(train_opt["scheduler"], base_lr, total_iter)
+        self.schedule = with_warmup(sched, int(train_opt.get("warmup_iter",
+                                                             -1)), base_lr)
+        self.tx = build_optimizer(
+            train_opt["optim_g"], self.schedule,
+            use_grad_clip=train_opt.get("use_grad_clip", True))
+        self.vgg_params = vgg_params
+        self.perceptual = None
+        if vgg_params is not None:
+            from fdn_tip2025_tpu.train.perceptual import make_perceptual_loss
+            self.perceptual = make_perceptual_loss(vgg_params)
+        seed = int(opt.get("manual_seed", 0))
+        self.key = jax.random.PRNGKey(seed)
+        self._build_params()
+        self.opt_state = self.tx.init(self.trainable)
+        self.trainable = replicate_tree(self.trainable, self.mesh)
+        self.frozen = replicate_tree(self.frozen, self.mesh)
+        self.opt_state = replicate_tree(self.opt_state, self.mesh)
+        self.step = 0
+        self._jit_step = jax.jit(self._train_step,
+                                 donate_argnums=(0, 1))
+
+    # -- subclass API ------------------------------------------------------
+    def _build_params(self):
+        raise NotImplementedError
+
+    def _loss_fn(self, trainable, frozen, batch):
+        raise NotImplementedError
+
+    # ----------------------------------------------------------------------
+    def _train_step(self, trainable, opt_state, frozen, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(trainable, frozen, batch)
+        updates, opt_state = self.tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, aux
+
+    def train_step(self, batch):
+        batch = shard_batch(batch, self.mesh)
+        self.trainable, self.opt_state, aux = self._jit_step(
+            self.trainable, self.opt_state, self.frozen, batch)
+        self.step += 1
+        return aux
+
+    @property
+    def params(self):
+        """Full (trainable + frozen) model params."""
+        return {**self.frozen, **self.trainable}
+
+    def current_lr(self):
+        return float(self.schedule(self.step))
+
+
+class FDNTrainer(BaseTrainer):
+    """model_type: ImageRestorationModel — trains FDformer, MAR frozen."""
+
+    def __init__(self, opt, mesh=None, vgg_params=None, mar_params=None,
+                 variant="fdn"):
+        self.variant = variant
+        self._mar_params = mar_params
+        super().__init__(opt, mesh, vgg_params)
+
+    def _build_params(self):
+        init = init_fdn if self.variant == "fdn" else init_fdn_lolv1
+        full = init(self.key)
+        if self._mar_params is not None:
+            full["net_a"] = self._mar_params["net_a"] \
+                if "net_a" in self._mar_params else self._mar_params
+        # MAR frozen (FDN_arch.py:858-859); everything else trains.
+        self.frozen = {"net_a": full["net_a"]}
+        self.trainable = {k: v for k, v in full.items() if k != "net_a"}
+
+    def _loss_fn(self, trainable, frozen, batch):
+        params = {**frozen, **trainable}
+        lq, gt = batch["lq"], batch["gt"]
+        ratio = compute_ratio(lq, gt, self.use_ratio)
+        fwd = fdn_forward if self.variant == "fdn" else fdn_lolv1_forward
+        out = fwd(params, lq, ratio)[0]
+        l_pix = L.l1_loss(out, gt)
+        l_fft = L.fft_loss(out, gt, loss_weight=0.1)
+        total = l_pix + l_fft
+        aux = {"l_pix": l_pix, "l_fft": l_fft}
+        if self.perceptual is not None:
+            l_per = self.perceptual(out, gt)
+            total = total + l_per
+            aux["l_per"] = l_per
+        aux["l_total"] = total
+        return total, aux
+
+
+class MARTrainer(BaseTrainer):
+    """model_type: ImageRestorationModel_ipretrain — 3-scale MARLoss."""
+
+    def _build_params(self):
+        self.trainable = init_mar(self.key)
+        self.frozen = {}
+
+    def _loss_fn(self, trainable, frozen, batch):
+        lq, gt = batch["lq"], batch["gt"]
+        ratio = compute_ratio(lq, gt, self.use_ratio)[..., None, None]
+        out_q, out_h, out_f = mar_forward(trainable, lq, ratio)
+        l1 = L.mar_loss(out_f, gt, self.perceptual, scale=1.0)
+        l2 = L.mar_loss(out_h, gt, self.perceptual, scale=0.5)
+        l3 = L.mar_loss(out_q, gt, self.perceptual, scale=0.25)
+        total = l1 + l2 + l3
+        return total, {"l_i1": l1, "l_i2": l2, "l_i3": l3, "l_total": total}
+
+
+class LPNetTrainer(BaseTrainer):
+    """model_type: ImageRestorationModel_ipred — ratio regression."""
+
+    def _build_params(self):
+        self.trainable = init_ipredict(self.key)
+        self.frozen = {}
+
+    def _loss_fn(self, trainable, frozen, batch):
+        lq, gt = batch["lq"], batch["gt"]
+        target = jnp.mean(grayscale(gt), axis=(1, 2, 3))[:, None]
+        pred, new_stats = ipredict_forward_train(trainable, lq)
+        l_pix = L.l1_loss(pred, target)
+        return l_pix, {"l_pix": l_pix, "l_total": l_pix,
+                       "_bn_stats": new_stats}
+
+    def _train_step(self, trainable, opt_state, frozen, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True)(trainable, frozen, batch)
+        new_stats = aux.pop("_bn_stats")
+        # BN running stats are buffers, not gradients — drop their grads
+        # and fold the updated stats in after the optimizer step.
+        updates, opt_state = self.tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        trainable = merge_bn_stats(trainable, jax.lax.stop_gradient(
+            new_stats))
+        return trainable, opt_state, aux
+
+
+TRAINERS = {
+    "ImageRestorationModel": FDNTrainer,
+    "ImageRestorationModel_ipretrain": MARTrainer,
+    "ImageRestorationModel_ipred": LPNetTrainer,
+}
+
+
+def create_trainer(opt, **kwargs):
+    """Mirror of the reference's create_model registry
+    (basicsr/models/__init__.py:35-56), keyed on model_type."""
+    cls = TRAINERS[opt["model_type"]]
+    return cls(opt, **kwargs)

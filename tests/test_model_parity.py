@@ -1,0 +1,134 @@
+"""Model-level parity: MAR, FDformer, FDN wiring, I_predict_net (real ckpt)."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from fdn_tip2025_tpu.checkpoint import convert_state_dict, load_model_from_pth
+from fdn_tip2025_tpu.models import (
+    init_mar, mar_forward, init_fdformer, fdformer_forward,
+    init_fdn, fdn_forward, init_ipredict, ipredict_forward,
+)
+from tests.conftest import assert_close
+from tests.torch_ref import import_ref_arch, to_nchw, to_nhwc, seed_all
+
+ARCH = import_ref_arch("FDN_arch")
+KEY = jax.random.PRNGKey(0)
+LPNET_CKPT = "/root/reference/checkpoint/LPNet_lolblur.pth"
+
+
+def sd(mod):
+    return {k: v.detach().numpy() for k, v in mod.state_dict().items()
+            if not k.endswith("num_batches_tracked")}
+
+
+def rand(rng, shape, lo=0.0, hi=1.0):
+    return rng.random(shape, dtype=np.float32) * (hi - lo) + lo
+
+
+def test_mar_parity(rng):
+    seed_all()
+    m = ARCH.MAR(use_ratio=True).eval()
+    x = rand(rng, (1, 32, 32, 3))
+    ratio = np.array([[2.5]], dtype=np.float32)
+    rt = torch.from_numpy(ratio)[..., None, None]
+    with torch.no_grad():
+        ref_q, ref_h, ref_f = m(to_nchw(x), rt)
+    p = convert_state_dict(sd(m), init_mar(KEY))
+    got_q, got_h, got_f = mar_forward(p, jnp.asarray(x),
+                                      jnp.asarray(ratio)[..., None, None])
+    assert_close(np.asarray(got_q), to_nhwc(ref_q), atol=5e-3)
+    assert_close(np.asarray(got_h), to_nhwc(ref_h), atol=5e-3)
+    assert_close(np.asarray(got_f), to_nhwc(ref_f), atol=5e-3)
+
+
+def test_fdformer_small_parity(rng):
+    seed_all()
+    m = ARCH.FDformer(inp_channels=3, out_channels=3, dim=8,
+                      num_blocks=[1, 1, 2], num_refinement_blocks=1,
+                      bias=False).eval()
+    x = rand(rng, (1, 32, 32, 3))
+    x_h1 = rand(rng, (1, 32, 17, 3), 0, 2)
+    x_h2 = rand(rng, (1, 16, 9, 3), 0, 2)
+    x_h3 = rand(rng, (1, 8, 5, 3), 0, 2)
+    p_h1 = rand(rng, (1, 32, 17, 3), -3, 3)
+    p_h2 = rand(rng, (1, 16, 9, 3), -3, 3)
+    p_h3 = rand(rng, (1, 8, 5, 3), -3, 3)
+    i1 = rand(rng, (1, 32, 32, 3))
+    i2 = rand(rng, (1, 16, 16, 3))
+    i3 = rand(rng, (1, 8, 8, 3))
+    with torch.no_grad():
+        ref = m(to_nchw(x), ori_img=to_nchw(x),
+                x_high1=to_nchw(x_h1), x_high2=to_nchw(x_h2),
+                x_high3=to_nchw(x_h3), x_high12=to_nchw(p_h1),
+                x_high22=to_nchw(p_h2), x_high32=to_nchw(p_h3),
+                x1=to_nchw(i1), x2=to_nchw(i2), x3=to_nchw(i3))
+    p = convert_state_dict(
+        sd(m), init_fdformer(KEY, dim=8, num_blocks=(1, 1, 2),
+                             num_refinement_blocks=1))
+    got = fdformer_forward(
+        p, jnp.asarray(x), ori_img=jnp.asarray(x),
+        x_high1=jnp.asarray(x_h1), x_high2=jnp.asarray(x_h2),
+        x_high3=jnp.asarray(x_h3), x_high12=jnp.asarray(p_h1),
+        x_high22=jnp.asarray(p_h2), x_high32=jnp.asarray(p_h3),
+        x1=jnp.asarray(i1), x2=jnp.asarray(i2), x3=jnp.asarray(i3))
+    assert_close(np.asarray(got), to_nhwc(ref), atol=5e-3)
+
+
+def test_ipredict_real_checkpoint(rng):
+    """LPNet with the real released checkpoint: scalar ratio to ~1e-4."""
+    if not os.path.exists(LPNET_CKPT):
+        pytest.skip("LPNet checkpoint not mounted")
+    lp = import_ref_arch("LPNet_arch")
+    m = lp.I_predict_net().eval()
+    state = torch.load(LPNET_CKPT, map_location="cpu", weights_only=True)
+    m.load_state_dict(state["params"], strict=True)
+    x = rand(rng, (2, 96, 96, 3))
+    with torch.no_grad():
+        ref = m(to_nchw(x))
+        ref_ori = m(to_nchw(x), use_ori_i=True)
+    p = load_model_from_pth(LPNET_CKPT, init_ipredict(KEY))
+    got = ipredict_forward(p, jnp.asarray(x))
+    got_ori = ipredict_forward(p, jnp.asarray(x), use_ori_i=True)
+    assert_close(np.asarray(got), ref.numpy(), atol=1e-4)
+    assert_close(np.asarray(got_ori), ref_ori.numpy(), atol=1e-3)
+
+
+@pytest.mark.skipif(os.environ.get("RUN_SLOW", "1") != "1",
+                    reason="full-size FDN parity is slow")
+def test_fdn_full_parity(rng, monkeypatch):
+    """Full FDN (8M params): frozen-MAR + prior wiring on a 32x32 input.
+
+    NOTE on the restored-image output: with random (untrained) weights the
+    44-block FDformer is numerically chaotic through the torch.angle branch
+    cuts — the REFERENCE itself diverges by ~1.1 max-abs when its input is
+    perturbed by 1e-6 (measured), so bitwise full-model comparison is
+    meaningless. Stage-level parity is asserted instead (MAR outputs here;
+    FDformer covered by test_fdformer_small_parity and block tests), plus
+    finiteness and the global-residual structure of the output.
+    """
+    seed_all()
+    mar_ref = ARCH.MAR(use_ratio=True)
+    monkeypatch.setattr(
+        torch, "load",
+        lambda *a, **k: {"params": mar_ref.state_dict()})
+    m = ARCH.FDN().eval()
+    x = rand(rng, (1, 32, 32, 3))
+    ratio = np.array([[1.7]], dtype=np.float32)
+    with torch.no_grad():
+        ref, r1, r2, r3 = m(to_nchw(x), ratio_i=torch.from_numpy(ratio))
+    p = convert_state_dict(sd(m), init_fdn(KEY))
+    got, g1, g2, g3 = fdn_forward(p, jnp.asarray(x), jnp.asarray(ratio))
+    assert_close(np.asarray(g1), to_nhwc(r1), atol=5e-3)
+    assert_close(np.asarray(g2), to_nhwc(r2), atol=5e-3)
+    assert_close(np.asarray(g3), to_nhwc(r3), atol=5e-3)
+    out = np.asarray(got)
+    assert np.isfinite(out).all()
+    assert out.shape == to_nhwc(ref).shape
+    # same order of magnitude as the reference's output distribution
+    assert abs(out.mean() - ref.numpy().mean()) < 2.0

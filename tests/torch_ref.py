@@ -44,13 +44,69 @@ def _install_torchvision_stub():
     transforms.Grayscale = Grayscale
     transforms.Compose = Compose
     tv.transforms = transforms
+    utils = types.ModuleType("torchvision.utils")
+
+    def make_grid(tensor, **kw):  # only needed at import time
+        return tensor
+
+    utils.make_grid = make_grid
+    tv.utils = utils
+
+    models = types.ModuleType("torchvision.models")
+    vgg_mod = types.ModuleType("torchvision.models.vgg")
+
+    def _unavailable(*a, **k):
+        raise RuntimeError("torchvision vgg weights unavailable in tests")
+
+    for n in ("vgg11", "vgg13", "vgg16", "vgg19", "vgg11_bn", "vgg13_bn",
+              "vgg16_bn", "vgg19_bn"):
+        setattr(vgg_mod, n, _unavailable)
+    models.vgg = vgg_mod
+    tv.models = models
+
+    tv.__path__ = []  # mark as package so "from torchvision import x" works
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.transforms"] = transforms
+    sys.modules["torchvision.utils"] = utils
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models.vgg"] = vgg_mod
+
+
+def _install_misc_stubs():
+    # basicsr package-level imports pull in deps not installed here.
+    for name in ("lmdb", "wandb"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        sk.__path__ = []
+        skm = types.ModuleType("skimage.metrics")
+
+        def structural_similarity(*a, **k):
+            raise RuntimeError("skimage unavailable in tests")
+
+        skm.structural_similarity = structural_similarity
+        sk.metrics = skm
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.metrics"] = skm
+    if "gpu_mem_track" not in sys.modules:
+        gmt = types.ModuleType("gpu_mem_track")
+
+        class MemTracker:
+            def __init__(self, *a, **k):
+                pass
+
+            def track(self, *a, **k):
+                pass
+
+        gmt.MemTracker = MemTracker
+        sys.modules["gpu_mem_track"] = gmt
 
 
 def import_ref_arch(name="FDN_arch"):
     """Import a reference arch module (e.g. FDN_arch, LPNet_arch)."""
     _install_torchvision_stub()
+    _install_misc_stubs()
     if REF not in sys.path:
         sys.path.insert(0, REF)
     import importlib

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""LOL-Blur test-set inference — tools equivalent of the reference's
+inference_fdn_lolblur.py (repo root, :13-76): for each low_blur_noise
+image, predict ratio with LPNet, restore with FDN (pad to x32, crop back),
+write PNGs mirroring the input tree.
+
+Usage:
+  python tools/infer_lolblur.py --input 'data/test/low_blur_noise/*/*.png' \
+      --output results/FDN_lolblur --fdn-ckpt FDN_lolblur.pth \
+      --lpnet-ckpt LPNet_lolblur.pth
+"""
+
+import argparse
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
+
+force_platform()  # FDN_DEVICE=cpu to force CPU (sitecustomize pins TPU)
+
+from fdn_tip2025_tpu.inference import FDNPredictor  # noqa: E402
+from fdn_tip2025_tpu.utils.img_io import imread, imwrite, tensor2img  # noqa
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="glob of low-light blurred inputs")
+    ap.add_argument("--output", required=True, help="output root dir")
+    ap.add_argument("--fdn-ckpt", default=None,
+                    help=".pth or native checkpoint (random init if absent)")
+    ap.add_argument("--lpnet-ckpt",
+                    default="/root/reference/checkpoint/LPNet_lolblur.pth")
+    ap.add_argument("--variant", default="lolblur",
+                    choices=["lolblur", "lolv1"])
+    args = ap.parse_args()
+
+    paths = sorted(glob.glob(args.input))
+    if not paths:
+        raise SystemExit(f"no inputs match {args.input}")
+    pred = FDNPredictor(variant=args.variant, fdn_ckpt=args.fdn_ckpt,
+                        lpnet_ckpt=args.lpnet_ckpt)
+    t0 = time.time()
+    mp = 0.0
+    for i, path in enumerate(paths):
+        img = imread(path)
+        out = pred.restore(img)
+        mp += img.shape[0] * img.shape[1] / 1e6
+        rel = os.path.join(*path.split(os.sep)[-2:])
+        imwrite(tensor2img(out), os.path.join(args.output, rel))
+        if i == 0:
+            t0 = time.time()  # exclude compile
+            mp = 0.0
+    dt = time.time() - t0
+    n = len(paths) - 1
+    if n > 0:
+        print(f"{n} images in {dt:.2f}s — {mp / dt:.3f} MP/s")
+
+
+if __name__ == "__main__":
+    main()

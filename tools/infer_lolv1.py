@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""LOL-v1 inference — equivalent of reference inference_fdn_lolv1.py:
+FDN_lolv1 (dim=24) with ratio = mean(gray(img)) / LPNet(img)
+(inference_fdn_lolv1.py:58-64)."""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
+
+force_platform()  # FDN_DEVICE=cpu to force CPU (sitecustomize pins TPU)
+
+from fdn_tip2025_tpu.inference import FDNPredictor  # noqa: E402
+from fdn_tip2025_tpu.utils.img_io import imread, imwrite, tensor2img  # noqa
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--fdn-ckpt", default=None)
+    ap.add_argument("--lpnet-ckpt",
+                    default="/root/reference/checkpoint/LPNet_lolv1.pth")
+    args = ap.parse_args()
+
+    pred = FDNPredictor(variant="lolv1", fdn_ckpt=args.fdn_ckpt,
+                        lpnet_ckpt=args.lpnet_ckpt)
+    for path in sorted(glob.glob(args.input)):
+        out = pred.restore(imread(path))
+        imwrite(tensor2img(out),
+                os.path.join(args.output, os.path.basename(path)))
+
+
+if __name__ == "__main__":
+    main()

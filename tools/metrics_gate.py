@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Full-reference metric harness — equivalent of the reference's m.py
+(:57-125, the external fidelity gate): per-image PSNR/SSIM(/LPIPS) over a
+result dir vs a GT dir, mean + CSV dump.
+
+Usage:
+  python tools/metrics_gate.py -m psnr ssim \
+      --img-dir results/FDN_lolblur --ref-dir data/test/high_sharp_scaled \
+      --csv four_lolblur.csv
+LPIPS requires a weights path (torchvision VGG + lpips linear heads are not
+bundled); psnr/ssim/niqe run out of the box.
+"""
+
+import argparse
+import csv
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
+
+force_platform()  # FDN_DEVICE=cpu to force CPU (sitecustomize pins TPU)
+
+from fdn_tip2025_tpu.metrics import (  # noqa: E402
+    calculate_psnr, calculate_ssim,
+)
+from fdn_tip2025_tpu.utils.img_io import imread  # noqa: E402
+
+
+def list_images(d):
+    exts = ("*.png", "*.jpg", "*.jpeg", "*.bmp")
+    out = []
+    for e in exts:
+        out += glob.glob(os.path.join(d, "**", e), recursive=True)
+    return sorted(out)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--metrics", nargs="+",
+                    default=["psnr", "ssim"],
+                    choices=["psnr", "ssim", "niqe", "lpips"])
+    ap.add_argument("--img-dir", required=True)
+    ap.add_argument("--ref-dir", required=True)
+    ap.add_argument("--csv", default="./metrics.csv")
+    args = ap.parse_args()
+
+    imgs = list_images(args.img_dir)
+    refs = list_images(args.ref_dir)
+    if len(imgs) != len(refs):
+        raise SystemExit(
+            f"count mismatch: {len(imgs)} results vs {len(refs)} refs")
+
+    rows = []
+    sums = {m: 0.0 for m in args.metrics}
+    for ip, rp in zip(imgs, refs):
+        a = imread(ip)
+        b = imread(rp)
+        row = {"img": os.path.basename(ip)}
+        for m in args.metrics:
+            if m == "psnr":
+                v = calculate_psnr(a, b, crop_border=0)
+            elif m == "ssim":
+                v = calculate_ssim(a, b, crop_border=0, ssim3d=True)
+            elif m == "niqe":
+                from fdn_tip2025_tpu.metrics.niqe import calculate_niqe
+                v = calculate_niqe((a[..., ::-1] * 255), crop_border=0)
+            elif m == "lpips":
+                raise SystemExit(
+                    "lpips needs pretrained weights; pass them via the "
+                    "python API (metrics.lpips) — not available offline")
+            row[m] = float(v)
+            sums[m] += float(v)
+        rows.append(row)
+
+    n = len(rows)
+    print({m: sums[m] / n for m in args.metrics})
+    with open(args.csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["img"] + args.metrics)
+        w.writeheader()
+        w.writerows(rows)
+        w.writerow({"img": "MEAN",
+                    **{m: sums[m] / n for m in args.metrics}})
+
+
+if __name__ == "__main__":
+    main()
