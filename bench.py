@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline benchmark: FDN inference throughput (megapixels/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol: full FDN forward (LPNet ratio included) at LOL-Blur test
+resolution 1120x640 (already x32-aligned), bfloat16 matmul precision off
+(f32 — parity mode), batch 1, median over timed iters after warmup.
+
+vs_baseline: the reference publishes NO throughput numbers
+(BASELINE.md); the baseline is the PyTorch reference's own
+inference_fdn_lolblur.py forward measured on this image's CPU
+(torch 2.13 CPU, 1 core) at 320x576 (full-res takes >9 min/forward) — see
+tools/measure_torch_baseline.py, result recorded below.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Reference torch-CPU throughput at 1120x640, measured with
+# tools/measure_torch_baseline.py on this image (single core):
+TORCH_CPU_MPS = float(os.environ.get("FDN_TORCH_BASELINE_MPS", "0.0007"))
+
+H, W = 640, 1120
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fdn_tip2025_tpu.models import (
+        init_fdn, fdn_forward, init_ipredict,
+    )
+    from fdn_tip2025_tpu.models.ipredict import ipredict_forward
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    fdn_params = init_fdn(k1)
+    lp_params = init_ipredict(k2)
+    x = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32))
+
+    @jax.jit
+    def fwd(fp, lp, x):
+        ratio = ipredict_forward(lp, x)
+        return fdn_forward(fp, x, ratio)[0]
+
+    out = fwd(fdn_params, lp_params, x)
+    out.block_until_ready()
+    for _ in range(WARMUP - 1):
+        fwd(fdn_params, lp_params, x).block_until_ready()
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        fwd(fdn_params, lp_params, x).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    mps = (H * W / 1e6) / dt
+    vs = mps / TORCH_CPU_MPS if TORCH_CPU_MPS > 0 else None
+    print(json.dumps({
+        "metric": "fdn_inference_throughput",
+        "value": round(mps, 3),
+        "unit": "megapixels/sec/chip",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

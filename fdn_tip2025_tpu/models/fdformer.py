@@ -5,6 +5,7 @@ Parity: reference FDN_arch.py:753-842. Encoders condition on MAR priors
 """
 
 import jax
+import jax.numpy as jnp
 
 from fdn_tip2025_tpu.ops import conv2d, init_conv2d
 from fdn_tip2025_tpu.ops.norm import init_layer_norm
@@ -52,11 +53,32 @@ def init_fdformer(key, inp_channels=3, out_channels=3, dim=48,
     }
 
 
-def _run_blocks(params, state, att, use_light):
-    for i in range(len(params)):
-        state = transformer_block(params[str(i)], state, att=att,
-                                  use_light=use_light)
-    return state
+def _run_blocks(params, state, att, use_light, use_scan=True):
+    """Run a stack of same-shaped TransformerBlocks.
+
+    use_scan stacks the per-block param trees and lax.scans one block body
+    over them — one traced block instead of N, cutting XLA compile time
+    ~N-fold for the 44-block FDformer with identical numerics (the blocks
+    are structurally identical within a group).
+    """
+    n = len(params)
+    if not use_scan or n == 1:
+        for i in range(n):
+            state = transformer_block(params[str(i)], state, att=att,
+                                      use_light=use_light)
+        return state
+
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                           *[params[str(i)] for i in range(n)])
+    x, x_high, x_p, x_img = state
+
+    def body(x, blk):
+        x = transformer_block(blk, (x, x_high, x_p, x_img), att=att,
+                              use_light=use_light)[0]
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, stacked)
+    return x, x_high, x_p, x_img
 
 
 def fdformer_forward(params, inp_img, ori_img=None,

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Offline evaluation over val/test dataset phases — equivalent of the
+reference's basicsr/test.py (+ scripts/dist_test.sh):
+  python tools/test.py -opt configs/fdn_lolblur.yml --ckpt <net_g_...>
+Evaluates every dataset phase whose name starts with 'val' or 'test'.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
+
+force_platform()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-opt", required=True)
+    ap.add_argument("--ckpt", default=None,
+                    help="native checkpoint dir or torch .pth")
+    ap.add_argument("--save-img", action="store_true")
+    ap.add_argument("--max-images", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    from fdn_tip2025_tpu.utils.options import parse
+    from fdn_tip2025_tpu.utils.logger import get_root_logger
+    from fdn_tip2025_tpu.data.paired_dataset import PairedImageDataset
+    from fdn_tip2025_tpu.train.validation import validate
+    from fdn_tip2025_tpu.inference import FDNPredictor, _load_params
+    from fdn_tip2025_tpu.models import (
+        init_mar, mar_forward, init_ipredict,
+    )
+
+    opt = parse(args.opt, is_train=False)
+    logger = get_root_logger()
+    model_type = opt["model_type"]
+
+    if model_type == "ImageRestorationModel":
+        variant = "lolv1" if opt.get("network_g", {}).get("type") == \
+            "FDN_lolv1" else "lolblur"
+        pred = FDNPredictor(variant=variant, fdn_ckpt=args.ckpt)
+
+        def predict(lq):
+            return pred.restore(lq)
+    elif model_type == "ImageRestorationModel_ipretrain":
+        import numpy as np
+        import jax.numpy as jnp
+        from fdn_tip2025_tpu.ops import (
+            pad_to_multiple, unpad, grayscale,
+        )
+        params = _load_params(args.ckpt, init_mar(jax.random.PRNGKey(0)))
+        jfwd = jax.jit(lambda p, x, r: mar_forward(p, x, r)[2])
+
+        def predict(lq):
+            x = jnp.asarray(lq, jnp.float32)[None]
+            x, hw = pad_to_multiple(x, 32)
+            ratio = jnp.mean(grayscale(x), axis=(1, 2, 3))[:, None, None,
+                                                           None]
+            return np.asarray(unpad(jfwd(params, x, ratio), hw))[0]
+    else:
+        raise SystemExit(f"test.py does not support {model_type}")
+
+    for phase, ds_opt in opt.get("datasets", {}).items():
+        if not (phase.startswith("val") or phase.startswith("test")):
+            continue
+        ds = PairedImageDataset(ds_opt)
+        save_dir = os.path.join(opt["path"]["visualization"], phase) \
+            if args.save_img else None
+        res = validate(predict, ds, opt.get("val", {}).get("metrics", {}),
+                       save_dir=save_dir, max_images=args.max_images)
+        logger.info(f"{phase}: " + ", ".join(
+            f"{k}: {v:.4f}" for k, v in res.items()))
+
+
+if __name__ == "__main__":
+    main()
