@@ -48,13 +48,13 @@ def _ln(p, x):
 def _phase_prior(x):
     f = rfft2(x)
     f = replace_denormals(f)
-    return jnp.angle(f)
+    return jnp.angle(f).astype(x.dtype)
 
 
 def _amp_prior(x):
     # NOTE: deliberately no denormal clamp here (commented out in the
     # reference, FDN_arch.py:902-913).
-    return jnp.abs(rfft2(x))
+    return jnp.abs(rfft2(x)).astype(x.dtype)
 
 
 def _fdn_forward(params, inp_img, ratio_i, variant):

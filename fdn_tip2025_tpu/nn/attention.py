@@ -65,19 +65,31 @@ def fdsa(params, x):
     vr, vi = vr * fft_p, vi * fft_p
     vr, vi = replace_denormals((vr, vi))
 
-    qkr = qr * kr - qi * ki
-    qki = qr * ki + qi * kr
-    qkr, qki = replace_denormals((qkr, qki))
-    qka = jnp.sqrt(qkr * qkr + qki * qki)
+    qkr = qr * ki + qi * kr  # imag of q*k (clamped below)
+    qk_re = qr * kr - qi * ki
+    qk_re, qkr = replace_denormals((qk_re, qkr))
+    qka = jnp.sqrt(qk_re * qk_re + qkr * qkr)
 
-    v_a, v_p = amp_phase_ri(vr, vi)
+    # Trig-free reformulation (exact identities on the clamped values;
+    # the reference routes through atan2/cos/sin — FDN_arch.py:599-630 —
+    # which costs 3 transcendentals per bin on the VPU):
+    #   polar(a, angle(q)-angle(k)) = a * q*conj(k) / (|q||k|)
+    #   polar(a, angle(v))          = a * v / |v|
     qr, qi = replace_denormals((qr, qi))
     kr, ki = replace_denormals((kr, ki))
-    qkp = jnp.arctan2(qi, qr) - jnp.arctan2(ki, kr)
+    v_a = jnp.sqrt(vr * vr + vi * vi)
+    qn = jnp.sqrt(qr * qr + qi * qi)
+    kn = jnp.sqrt(kr * kr + ki * ki)
+    qck_r = qr * kr + qi * ki   # Re(q * conj(k))
+    qck_i = qi * kr - qr * ki   # Im(q * conj(k))
+    inv_qknorm = 1.0 / (qn * kn)
+    s1 = v_a * inv_qknorm
+    s2 = qka / v_a
+    s3 = qka * inv_qknorm
 
-    out1 = irfft2_patch8(*polar_ri(v_a, qkp))
-    out2 = irfft2_patch8(*polar_ri(qka, v_p))
-    out3 = irfft2_patch8(*polar_ri(qka, qkp))
+    out1 = irfft2_patch8(s1 * qck_r, s1 * qck_i)
+    out2 = irfft2_patch8(s2 * vr, s2 * vi)
+    out3 = irfft2_patch8(s3 * qck_r, s3 * qck_i)
 
     out1 = _ln(params["norm1"], unpatchify8(out1))
     out2 = _ln(params["norm2"], unpatchify8(out2))

@@ -116,9 +116,10 @@ def fre_block(params, x):
     h, w = x.shape[1], x.shape[2]
     xf = rfft2(conv2d(x, params["fpre"]["weight"], params["fpre"]["bias"]))
     mag, pha = amp_phase(xf)
-    mag = _seq_1x1_leaky_1x1(params["process1"], mag)
-    pha = _seq_1x1_leaky_1x1(params["process2"], pha)
-    out = irfft2(polar(mag, pha), s=(h, w))
+    mag = _seq_1x1_leaky_1x1(params["process1"], mag.astype(x.dtype))
+    pha = _seq_1x1_leaky_1x1(params["process2"], pha.astype(x.dtype))
+    out = irfft2(polar(mag.astype(jnp.float32), pha.astype(jnp.float32)),
+                 s=(h, w)).astype(x.dtype)
     return out + x
 
 
@@ -179,9 +180,10 @@ def fourier_fuse(params, x1, x2, x4):
                padding=1, groups=out_nc)
     yf = rfft2(y)
     mag, pha = amp_phase(yf)
-    mag = _seq_1x1_leaky_1x1(params["process1"], mag)
-    pha = _seq_1x1_leaky_1x1(params["process2"], pha)
+    mag = _seq_1x1_leaky_1x1(params["process1"], mag.astype(x.dtype))
+    pha = _seq_1x1_leaky_1x1(params["process2"], pha.astype(x.dtype))
     # irfft2 with s=(H, W) crops the (H+2, W+2)-sized spectrum like torch.
-    out = irfft2(polar(mag, pha), s=(h, w))
+    out = irfft2(polar(mag.astype(jnp.float32), pha.astype(jnp.float32)),
+                 s=(h, w)).astype(x.dtype)
     return conv2d(out, params["fourier_out"]["weight"],
                   params["fourier_out"]["bias"], padding=1)

@@ -45,10 +45,14 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
 
     pr, pi = rfft2_patch8(patchify8(x))
     pr, pi = replace_denormals((pr, pi))
-    amp, phase = amp_phase_ri(pr, pi)
-    amp = amp * params["ffta"]
-    phase = phase - params["fftp"]
-    rr, ii = polar_ri(amp, phase)
+    # amp*ffta with phase-shift -fftp == multiply by ffta*exp(-i*fftp):
+    # a constant complex rotation of the spectrum — cos/sin touch only the
+    # (8,5,C) parameters, not per-pixel data (reference does per-pixel
+    # angle/cos/sin, FDN_arch.py:460-468).
+    cr = params["ffta"] * jnp.cos(params["fftp"])
+    sr = params["ffta"] * jnp.sin(params["fftp"])
+    rr = pr * cr + pi * sr
+    ii = pi * cr - pr * sr
     x = unpatchify8(irfft2_patch8(rr, ii)) + x1
 
     g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
@@ -91,11 +95,18 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
         x1 = x
         f = rfft2(x)
         f = replace_denormals(f)
-        x_p = jnp.angle(f) - conv2d(xp2, params["conv1_xp"]["weight"],
-                                    params["conv1_xp"].get("bias"))
-        x_a = jnp.abs(f) * conv2d(x_high, params["conv1_xa"]["weight"],
-                                  params["conv1_xa"].get("bias"))
-        x = irfft2(polar(x_a, x_p), s=(h, w))
+        # |f|*a at phase angle(f)-c  ==  a * f * exp(-i*c): drops the
+        # per-pixel atan2/abs of the reference formulation
+        # (FDN_arch.py:411-418) — only cos/sin of the conv output remain.
+        c = conv2d(xp2, params["conv1_xp"]["weight"],
+                   params["conv1_xp"].get("bias")).astype(jnp.float32)
+        a = conv2d(x_high, params["conv1_xa"]["weight"],
+                   params["conv1_xa"].get("bias")).astype(jnp.float32)
+        cos_c, sin_c = jnp.cos(c), jnp.sin(c)
+        fr, fi = f.real, f.imag
+        out = (a * (fr * cos_c + fi * sin_c)) + 1j * (
+            a * (fi * cos_c - fr * sin_c))
+        x = irfft2(out, s=(h, w)).astype(x1.dtype)
         nb = params["norm"]["body"]
         x = layer_norm_2d(x, nb["weight"], nb["bias"]) * x1 + x1
     x = conv2d(x, params["project_in"]["weight"],

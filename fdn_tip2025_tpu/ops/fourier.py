@@ -24,8 +24,11 @@ def rfft2(x, axes=(1, 2)):
     """2-D real FFT over the spatial axes of an NHWC tensor.
 
     Parity: torch.fft.rfft2(x_nchw, norm='backward') on the matching NCHW
-    tensor (reference FDN_arch.py:411, 882-914 etc.).
+    tensor (reference FDN_arch.py:411, 882-914 etc.). Upcasts sub-f32
+    inputs (bf16 inference mode) like the reference's .float() casts.
     """
+    if x.dtype not in (jnp.float32, jnp.float64):
+        x = x.astype(jnp.float32)
     return jnp.fft.rfft2(x, axes=axes)
 
 
@@ -98,7 +101,67 @@ def _dft_mats_np(dtype_name="float32"):
 
 
 def _dft_mats(dtype_name="float32"):
-    return tuple(jnp.asarray(a) for a in _dft_mats_np(dtype_name))
+    # numpy has no bfloat16 — build f32 and cast on the jnp side.
+    np_name = dtype_name if dtype_name in ("float32", "float64") \
+        else "float32"
+    return tuple(jnp.asarray(a, jnp.dtype(dtype_name))
+                 for a in _dft_mats_np(np_name))
+
+
+@lru_cache(maxsize=None)
+def _dft_combined_np():
+    """Single-matmul forms of the 8x8 patch transforms.
+
+    Forward: W (80, 64) mapping the 64 patch pixels to [Re; Im] of the
+    40-bin half spectrum. Inverse: A (64, 80) mapping [Re; Im] back to 64
+    pixels — with the hermitian expansion folded in, so it reproduces
+    torch.fft.irfft2 exactly even for modulated (non-hermitian) spectra.
+    Built numerically from the two-stage definition.
+    """
+    fc, fs, ec, es = _dft_mats_np("float64")
+    fck, fsk = fc[:, :_RFREQ], fs[:, :_RFREQ]
+
+    # forward: x (8,8) -> Xr, Xi (8,5)
+    def fwd(x):
+        tr = x @ fck
+        ti = x @ fsk
+        xr = fc.T @ tr - fs.T @ ti
+        xi = fc.T @ ti + fs.T @ tr
+        return xr, xi
+
+    W = np.zeros((80, 64))
+    for m in range(PATCH):
+        for n in range(PATCH):
+            e = np.zeros((PATCH, PATCH))
+            e[m, n] = 1.0
+            xr, xi = fwd(e)
+            W[:40, m * 8 + n] = xr.ravel()
+            W[40:, m * 8 + n] = xi.ravel()
+
+    # inverse: (Xr, Xi) (8,5) each -> x (8,8), hermitian-expanded
+    def inv(xr, xi):
+        rev_r = np.roll(xr[::-1], 1, axis=0)
+        rev_i = np.roll(xi[::-1], 1, axis=0)
+        fr = np.concatenate([xr, rev_r[:, 3:0:-1]], axis=1)
+        fi = np.concatenate([xi, -rev_i[:, 3:0:-1]], axis=1)
+        tr = fr @ ec - fi @ es
+        ti = fr @ es + fi @ ec
+        return ec.T @ tr - es.T @ ti
+
+    A = np.zeros((64, 80))
+    for j in range(80):
+        b = np.zeros(80)
+        b[j] = 1.0
+        x = inv(b[:40].reshape(8, 5), b[40:].reshape(8, 5))
+        A[:, j] = x.ravel()
+    return W.astype(np.float32), A.astype(np.float32)
+
+
+def _dft_combined(dtype_name="float32"):
+    W, A = _dft_combined_np()
+    dt = jnp.dtype(dtype_name if dtype_name in ("float32", "float64")
+                   else dtype_name)
+    return jnp.asarray(W, dt), jnp.asarray(A, dt)
 
 
 def patchify8(x):
@@ -127,18 +190,17 @@ def rfft2_patch8(x):
 
     Parity: torch.fft.rfft2(patches, norm='backward') over the trailing
     8x8 patch dims (FDN_arch.py:460, 585-589).
+
+    One (80, 64) matmul over the flattened patch dim (channels stay in
+    lanes) instead of chained 8-point contractions.
     """
-    fc, fs, _, _ = _dft_mats(str(x.dtype))
-    fck = fc[:, :_RFREQ]
-    fsk = fs[:, :_RFREQ]
-    # Transform along the second patch axis (n -> v), keep 5 freqs.
-    tr = jnp.einsum("...mnc,nv->...mvc", x, fck)
-    ti = jnp.einsum("...mnc,nv->...mvc", x, fsk)
-    # Transform along the first patch axis (m -> u), full 8.
-    xr = jnp.einsum("um,...mvc->...uvc", fc, tr) - jnp.einsum(
-        "um,...mvc->...uvc", fs, ti)
-    xi = jnp.einsum("um,...mvc->...uvc", fc, ti) + jnp.einsum(
-        "um,...mvc->...uvc", fs, tr)
+    W, _ = _dft_combined(str(x.dtype))
+    b = x.shape[:-3]
+    c = x.shape[-1]
+    flat = x.reshape(*b, 64, c)
+    out = jnp.einsum("fk,...kc->...fc", W, flat)
+    xr = out[..., :40, :].reshape(*b, 8, 5, c)
+    xi = out[..., 40:, :].reshape(*b, 8, 5, c)
     return xr, xi
 
 
@@ -161,15 +223,14 @@ def irfft2_patch8(xr, xi):
     """Inverse rfft2 of 8x8 patches from (real, imag) half-spectra.
 
     Input:  each (..., 8, 5, C). Output: (..., 8, 8, C) real.
-    Parity: torch.fft.irfft2(X, s=(8, 8), norm='backward').
+    Parity: torch.fft.irfft2(X, s=(8, 8), norm='backward') — including its
+    behavior on modulated (non-hermitian) half spectra, via the folded
+    hermitian expansion in the (64, 80) inverse map.
     """
-    _, _, ec, es = _dft_mats(str(xr.dtype))
-    fr, fi = _expand_hermitian(xr, xi)
-    # x[m, n] = Re( sum_{u,v} X[u,v] E[m,u] E[n,v] )
-    tr = jnp.einsum("...uvc,vn->...unc", fr, ec) - jnp.einsum(
-        "...uvc,vn->...unc", fi, es)
-    ti = jnp.einsum("...uvc,vn->...unc", fr, es) + jnp.einsum(
-        "...uvc,vn->...unc", fi, ec)
-    out = jnp.einsum("mu,...unc->...mnc", ec, tr) - jnp.einsum(
-        "mu,...unc->...mnc", es, ti)
-    return out
+    _, A = _dft_combined(str(xr.dtype))
+    b = xr.shape[:-3]
+    c = xr.shape[-1]
+    flat = jnp.concatenate([xr.reshape(*b, 40, c),
+                            xi.reshape(*b, 40, c)], axis=-2)
+    out = jnp.einsum("kf,...fc->...kc", A, flat)
+    return out.reshape(*b, 8, 8, c)
