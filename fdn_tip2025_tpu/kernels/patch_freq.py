@@ -1,0 +1,178 @@
+"""Pallas TPU kernels: fused 8x8-patch frequency pipelines.
+
+The FDSA/FDFFN inner loops are chains of
+  patch-rFFT -> denormal clamp -> amp/phase algebra -> patch-irFFT
+which, expressed as XLA einsums, materialize ~6-10 full-size HBM tensors
+per block. These kernels run the whole chain in VMEM per patch tile: one
+read of the patched input, one write of the output. The DFTs are the
+combined (80, 64) / (64, 80) real matmuls from ops.fourier (torch-parity
+semantics, hermitian expansion folded into the inverse).
+
+Layout: patches (N, 64, C) where N = B * (H/8) * (W/8) — produced by the
+free leading-dim merges after ops.fourier.patchify8. Params enter as
+(40, C) planes. Grid tiles N; N must be a multiple of the tile (callers
+pad).
+
+These are inference-path fusions, enabled with FDN_PALLAS=1; training
+uses the XLA path (ops.fourier), which is fully differentiable.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from fdn_tip2025_tpu.ops.fourier import _dft_combined_np
+
+THRESH = 1e-10
+
+
+def _clamp(v):
+    return jnp.where((v < THRESH) & (v > -THRESH), THRESH, v)
+
+
+def _mats(dtype):
+    W, A = _dft_combined_np()
+    return jnp.asarray(W, dtype), jnp.asarray(A, dtype)
+
+
+# ---------------------------------------------------------------------------
+# FDFFN: spectrum rotation
+# ---------------------------------------------------------------------------
+
+def _fdffn_kernel(x_ref, cr_ref, sr_ref, w_ref, a_ref, o_ref, *, dtype):
+    W, A = w_ref[:], a_ref[:]
+    x = x_ref[:]  # (TP, 64, C)
+    f = jax.lax.dot_general(
+        x, W, (((1,), (1,)), ((), ())),
+        preferred_element_type=dtype)  # (TP, C, 80)
+    pr = _clamp(f[:, :, :40])
+    pi = _clamp(f[:, :, 40:])
+    cr = cr_ref[:].T  # (C, 40)
+    sr = sr_ref[:].T
+    rr = pr * cr + pi * sr
+    ii = pi * cr - pr * sr
+    mod = jnp.concatenate([rr, ii], axis=-1)  # (TP, C, 80)
+    out = jax.lax.dot_general(
+        mod, A, (((2,), (1,)), ((), ())),
+        preferred_element_type=dtype)  # (TP, C, 64)
+    o_ref[:] = out.transpose(0, 2, 1)
+
+
+def fdffn_freq(patches, cr, sr, tile=16):
+    """patches: (N, 64, C); cr, sr: (40, C) rotation planes.
+
+    Returns (N, 64, C) = irfft(rotate(clamp(rfft(patches)))).
+    """
+    n, _, c = patches.shape
+    pad = (-n) % tile
+    if pad:
+        patches = jnp.pad(patches, ((0, pad), (0, 0), (0, 0)))
+    grid = (patches.shape[0] // tile,)
+    W, A = _mats(patches.dtype)
+    out = pl.pallas_call(
+        functools.partial(_fdffn_kernel, dtype=patches.dtype),
+        out_shape=jax.ShapeDtypeStruct(patches.shape, patches.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 64, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((40, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((40, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((80, 64), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 80), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 64, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() == "cpu",
+    )(patches, cr, sr, W, A)
+    return out[:n] if pad else out
+
+
+# ---------------------------------------------------------------------------
+# FDSA: q/k/v spectral attention
+# ---------------------------------------------------------------------------
+
+def _fdsa_kernel(q_ref, k_ref, v_ref, fft_ref, w_ref, a_ref,
+                 o1_ref, o2_ref, o3_ref, *, dtype):
+    W, A = w_ref[:], a_ref[:]
+
+    def dft(x):
+        f = jax.lax.dot_general(x, W, (((1,), (1,)), ((), ())),
+                                preferred_element_type=dtype)
+        return f[:, :, :40], f[:, :, 40:]  # (TP, C, 40) re/im
+
+    qr, qi = dft(q_ref[:])
+    kr, ki = dft(k_ref[:])
+    vr, vi = dft(v_ref[:])
+    fft_p = fft_ref[:].T  # (C, 40)
+    vr, vi = _clamp(vr * fft_p), _clamp(vi * fft_p)
+
+    qk_re = _clamp(qr * kr - qi * ki)
+    qk_im = _clamp(qr * ki + qi * kr)
+    qka = jnp.sqrt(qk_re * qk_re + qk_im * qk_im)
+
+    qr, qi = _clamp(qr), _clamp(qi)
+    kr, ki = _clamp(kr), _clamp(ki)
+    v_a = jnp.sqrt(vr * vr + vi * vi)
+    qn = jnp.sqrt(qr * qr + qi * qi)
+    kn = jnp.sqrt(kr * kr + ki * ki)
+    qck_r = qr * kr + qi * ki
+    qck_i = qi * kr - qr * ki
+    inv_qk = 1.0 / (qn * kn)
+    s1 = v_a * inv_qk
+    s2 = qka / v_a
+    s3 = qka * inv_qk
+
+    def idft(rr, ii, o_ref):
+        mod = jnp.concatenate([rr, ii], axis=-1)
+        out = jax.lax.dot_general(mod, A, (((2,), (1,)), ((), ())),
+                                  preferred_element_type=dtype)
+        o_ref[:] = out.transpose(0, 2, 1)
+
+    idft(s1 * qck_r, s1 * qck_i, o1_ref)
+    idft(s2 * vr, s2 * vi, o2_ref)
+    idft(s3 * qck_r, s3 * qck_i, o3_ref)
+
+
+def fdsa_freq(q, k, v, fft_p, tile=4):
+    """q, k, v: (N, 64, E) patches; fft_p: (40, E).
+
+    Returns (out1, out2, out3), each (N, 64, E) — the three spectral
+    combinations of FDN_arch.py:599-630 with reference clamp placement.
+    """
+    n, _, e = q.shape
+    pad = (-n) % tile
+    if pad:
+        q, k, v = (jnp.pad(t, ((0, pad), (0, 0), (0, 0)))
+                   for t in (q, k, v))
+    grid = (q.shape[0] // tile,)
+    blk = pl.BlockSpec((tile, 64, e), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    pblk = pl.BlockSpec((40, e), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    W, A = _mats(q.dtype)
+    wblk = pl.BlockSpec((80, 64), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    ablk = pl.BlockSpec((64, 80), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    o1, o2, o3 = pl.pallas_call(
+        functools.partial(_fdsa_kernel, dtype=q.dtype),
+        out_shape=(shape, shape, shape),
+        grid=grid,
+        in_specs=[blk, blk, blk, pblk, wblk, ablk],
+        out_specs=(blk, blk, blk),
+        interpret=jax.default_backend() == "cpu",
+    )(q, k, v, fft_p, W, A)
+    if pad:
+        return o1[:n], o2[:n], o3[:n]
+    return o1, o2, o3

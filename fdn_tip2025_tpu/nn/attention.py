@@ -15,6 +15,8 @@ Computation (all on 8x8 patch half-spectra):
   out  = 1x1(concat(v_value * LN_i(out_i)))
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -55,11 +57,38 @@ def fdsa(params, x):
     hidden = conv2d(hidden, params["to_hidden_dw"]["weight"],
                     params["to_hidden_dw"].get("bias"),
                     padding=1, groups=expand4)
-    q, k, v, v_value = jnp.split(hidden, INNER, axis=-1)
+    v_value = hidden[..., 3 * expand:]
 
-    qr, qi = rfft2_patch8(patchify8(q))
-    kr, ki = rfft2_patch8(patchify8(k))
-    vr, vi = rfft2_patch8(patchify8(v))
+    if os.environ.get("FDN_PALLAS") == "1":
+        q = hidden[..., :expand]
+        k = hidden[..., expand:2 * expand]
+        v = hidden[..., 2 * expand:3 * expand]
+        from fdn_tip2025_tpu.kernels.patch_freq import fdsa_freq
+        b, hh, ww, _ = q.shape
+        qp = patchify8(q).reshape(-1, 64, expand)
+        kp = patchify8(k).reshape(-1, 64, expand)
+        vp = patchify8(v).reshape(-1, 64, expand)
+        fft_plane = params["fft"].reshape(40, expand)
+        o1, o2, o3 = fdsa_freq(qp, kp, vp, fft_plane)
+
+        def unpatch(o):
+            return unpatchify8(o.reshape(b, hh // 8, ww // 8, 8, 8,
+                                         expand))
+
+        out1 = _ln(params["norm1"], unpatch(o1))
+        out2 = _ln(params["norm2"], unpatch(o2))
+        out3 = _ln(params["norm3"], unpatch(o3))
+        out = jnp.concatenate(
+            [v_value * out1, v_value * out2, v_value * out3], axis=-1)
+        return conv2d(out, params["project_out"]["weight"],
+                      params["project_out"].get("bias"))
+
+    # one patchify + one DFT over the q|k|v channel block (3 transposes
+    # and 3 DFT launches fused into 1+1)
+    fr, fi = rfft2_patch8(patchify8(hidden[..., : 3 * expand]))
+    qr, qi = fr[..., :expand], fi[..., :expand]
+    kr, ki = fr[..., expand:2 * expand], fi[..., expand:2 * expand]
+    vr, vi = fr[..., 2 * expand:], fi[..., 2 * expand:]
 
     fft_p = params["fft"]
     vr, vi = vr * fft_p, vi * fft_p
@@ -87,13 +116,14 @@ def fdsa(params, x):
     s2 = qka / v_a
     s3 = qka * inv_qknorm
 
-    out1 = irfft2_patch8(s1 * qck_r, s1 * qck_i)
-    out2 = irfft2_patch8(s2 * vr, s2 * vi)
-    out3 = irfft2_patch8(s3 * qck_r, s3 * qck_i)
+    # one inverse DFT + one unpatchify for all three outputs
+    cat_r = jnp.concatenate([s1 * qck_r, s2 * vr, s3 * qck_r], axis=-1)
+    cat_i = jnp.concatenate([s1 * qck_i, s2 * vi, s3 * qck_i], axis=-1)
+    outs = unpatchify8(irfft2_patch8(cat_r, cat_i))
 
-    out1 = _ln(params["norm1"], unpatchify8(out1))
-    out2 = _ln(params["norm2"], unpatchify8(out2))
-    out3 = _ln(params["norm3"], unpatchify8(out3))
+    out1 = _ln(params["norm1"], outs[..., :expand])
+    out2 = _ln(params["norm2"], outs[..., expand:2 * expand])
+    out3 = _ln(params["norm3"], outs[..., 2 * expand:])
 
     out = jnp.concatenate(
         [v_value * out1, v_value * out2, v_value * out3], axis=-1)

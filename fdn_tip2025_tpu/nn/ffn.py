@@ -3,6 +3,8 @@
 Parity: reference FDN_arch.py:430-475 (FDFFN) and :381-429 (FCAFFN).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -43,17 +45,25 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
     x1 = conv2d(x1, sp["2"]["weight"], sp["2"].get("bias"), padding=1,
                 groups=hidden)
 
-    pr, pi = rfft2_patch8(patchify8(x))
-    pr, pi = replace_denormals((pr, pi))
     # amp*ffta with phase-shift -fftp == multiply by ffta*exp(-i*fftp):
     # a constant complex rotation of the spectrum — cos/sin touch only the
     # (8,5,C) parameters, not per-pixel data (reference does per-pixel
     # angle/cos/sin, FDN_arch.py:460-468).
     cr = params["ffta"] * jnp.cos(params["fftp"])
     sr = params["ffta"] * jnp.sin(params["fftp"])
-    rr = pr * cr + pi * sr
-    ii = pi * cr - pr * sr
-    x = unpatchify8(irfft2_patch8(rr, ii)) + x1
+    if os.environ.get("FDN_PALLAS") == "1":
+        from fdn_tip2025_tpu.kernels.patch_freq import fdffn_freq
+        b, hh, ww, ch = x.shape
+        patches = patchify8(x).reshape(-1, 64, ch)
+        out = fdffn_freq(patches, cr.reshape(40, ch), sr.reshape(40, ch))
+        out = out.reshape(b, hh // 8, ww // 8, 8, 8, ch)
+        x = unpatchify8(out) + x1
+    else:
+        pr, pi = rfft2_patch8(patchify8(x))
+        pr, pi = replace_denormals((pr, pi))
+        rr = pr * cr + pi * sr
+        ii = pi * cr - pr * sr
+        x = unpatchify8(irfft2_patch8(rr, ii)) + x1
 
     g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
                padding=1, groups=hidden)

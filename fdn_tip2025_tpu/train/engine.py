@@ -98,6 +98,7 @@ class BaseTrainer:
         return trainable, opt_state, aux
 
     def train_step(self, batch):
+        batch = {k: v for k, v in batch.items() if k in ("lq", "gt")}
         batch = shard_batch(batch, self.mesh)
         self.trainable, self.opt_state, aux = self._jit_step(
             self.trainable, self.opt_state, self.frozen, batch)

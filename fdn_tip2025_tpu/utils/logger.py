@@ -13,7 +13,18 @@ import time
 
 def get_root_logger(name="fdn_tpu", log_file=None, level=logging.INFO):
     logger = logging.getLogger(name)
-    if logger.hasHandlers():
+    # check OWN handlers only: hasHandlers() also sees root handlers that
+    # absl/jax install, which would leave this logger handler-less and
+    # INFO lines swallowed by the root WARNING level.
+    if logger.handlers:
+        if log_file and not any(isinstance(h, logging.FileHandler)
+                                for h in logger.handlers):
+            fmt = logging.Formatter(
+                "%(asctime)s %(levelname)s: %(message)s",
+                "%Y-%m-%d %H:%M:%S")
+            fh = logging.FileHandler(log_file, "a")
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
         return logger
     fmt = logging.Formatter(
         "%(asctime)s %(levelname)s: %(message)s", "%Y-%m-%d %H:%M:%S")
