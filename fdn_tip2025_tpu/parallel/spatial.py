@@ -64,7 +64,12 @@ def tiled_restore(forward_fn, img, crop_h, crop_w, batch_size=None,
     tiles = np.stack([img[i:i + crop_h, j:j + crop_w] for i, j in idxes])
     n = len(idxes)
     bs = batch_size or n
-    bs = min(bs, n)
+    if mesh is not None:
+        # batch must shard evenly over the mesh
+        n_dev = int(mesh.devices.size)
+        bs = max(n_dev, bs - bs % n_dev)
+    else:
+        bs = min(bs, n)
 
     outs = []
     for start in range(0, n, bs):

@@ -1,0 +1,74 @@
+"""FDNPredictor / tiled restore / scheduler behavior tests (CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fdn_tip2025_tpu.inference import FDNPredictor
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return FDNPredictor(
+        variant="lolblur",
+        lpnet_ckpt="/root/reference/checkpoint/LPNet_lolblur.pth")
+
+
+def test_predictor_pads_and_crops(rng, predictor):
+    img = rng.random((40, 52, 3), dtype=np.float32)
+    out = predictor.restore(img)
+    assert out.shape == (40, 52, 3)
+    assert np.isfinite(out).all()
+
+
+def test_predictor_shape_bucketing(rng, predictor):
+    predictor.restore(rng.random((40, 52, 3), dtype=np.float32))
+    n0 = len(predictor._jit_cache)
+    # same padded bucket (64x64 -> pads to 64x64): no new compile
+    predictor.restore(rng.random((40, 50, 3), dtype=np.float32))
+    assert len(predictor._jit_cache) == n0
+    predictor.restore(rng.random((70, 52, 3), dtype=np.float32))
+    assert len(predictor._jit_cache) == n0 + 1
+
+
+def test_predictor_explicit_ratio_batch(rng, predictor):
+    imgs = rng.random((2, 40, 40, 3), dtype=np.float32)
+    out = predictor.restore(imgs, ratio=np.array([0.2, 0.8], np.float32))
+    assert out.shape == (2, 40, 40, 3)
+    # different ratios must give different outputs
+    assert np.abs(out[0] - out[1]).max() > 1e-4
+
+
+def test_tiled_restore_with_mesh(rng):
+    from fdn_tip2025_tpu.parallel.spatial import tiled_restore
+    from fdn_tip2025_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    img = rng.random((48, 72, 3)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fwd(tiles):
+        return tiles * 2.0
+
+    out = tiled_restore(fwd, img, 32, 32, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(out, img * 2.0, atol=1e-6)
+
+
+def test_schedulers_shapes():
+    from fdn_tip2025_tpu.train.schedulers import (
+        linear_lr, vibrate_lr, multistep_restart, cosine_annealing_restart,
+    )
+    assert abs(float(linear_lr(1e-3, 100)(50)) - 5e-4) < 1e-9
+    v = vibrate_lr(1e-3, 8000)
+    # cycle start (t=0) gives lr 0 past the first half-cycle — reference
+    # behavior (lr_scheduler.py:89-112); mid-cycle is positive
+    assert float(v(150)) > 0
+    assert float(v(100)) == 0.0
+    m = multistep_restart(1e-3, [10, 20], gamma=0.1)
+    assert abs(float(m(15)) - 1e-4) < 1e-9
+    c = cosine_annealing_restart(1e-3, [100, 100], (1, 0.5), 1e-7)
+    assert abs(float(c(0)) - 1e-3) < 1e-6
+    assert float(c(150)) < 5.2e-4
