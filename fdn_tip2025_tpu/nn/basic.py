@@ -119,7 +119,7 @@ def fre_block(params, x):
     mag = _seq_1x1_leaky_1x1(params["process1"], mag.astype(x.dtype))
     pha = _seq_1x1_leaky_1x1(params["process2"], pha.astype(x.dtype))
     out = irfft2(polar(mag.astype(jnp.float32), pha.astype(jnp.float32)),
-                 s=(h, w)).astype(x.dtype)
+                 s=(h, w), fast=x.dtype == jnp.bfloat16).astype(x.dtype)
     return out + x
 
 
@@ -184,6 +184,6 @@ def fourier_fuse(params, x1, x2, x4):
     pha = _seq_1x1_leaky_1x1(params["process2"], pha.astype(x.dtype))
     # irfft2 with s=(H, W) crops the (H+2, W+2)-sized spectrum like torch.
     out = irfft2(polar(mag.astype(jnp.float32), pha.astype(jnp.float32)),
-                 s=(h, w)).astype(x.dtype)
+                 s=(h, w), fast=x.dtype == jnp.bfloat16).astype(x.dtype)
     return conv2d(out, params["fourier_out"]["weight"],
                   params["fourier_out"]["bias"], padding=1)

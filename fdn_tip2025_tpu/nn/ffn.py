@@ -116,7 +116,8 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
         fr, fi = f.real, f.imag
         out = (a * (fr * cos_c + fi * sin_c)) + 1j * (
             a * (fi * cos_c - fr * sin_c))
-        x = irfft2(out, s=(h, w)).astype(x1.dtype)
+        x = irfft2(out, s=(h, w),
+                   fast=x1.dtype == jnp.bfloat16).astype(x1.dtype)
         nb = params["norm"]["body"]
         x = layer_norm_2d(x, nb["weight"], nb["bias"]) * x1 + x1
     x = conv2d(x, params["project_in"]["weight"],

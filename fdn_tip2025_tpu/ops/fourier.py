@@ -47,23 +47,22 @@ def _dft1d(n, rbins=None):
     return jnp.asarray(c, jnp.float32), jnp.asarray(s, jnp.float32)
 
 
-def _rfft2_matmul(x):
-    """rfft2 over axes (1, 2) via two chained DFT matmuls (f32-exact via
-    HIGHEST precision on the MXU)."""
+def _rfft2_matmul(x, precision):
+    """rfft2 over axes (1, 2) via two chained DFT matmuls."""
     b, h, w, c = x.shape
     wf = w // 2 + 1
     cw, sw = _dft1d(w, wf)
     ch, sh = _dft1d(h)
-    tr = jnp.einsum("bhwc,wf->bhfc", x, cw, precision=_HIGHEST)
-    ti = jnp.einsum("bhwc,wf->bhfc", x, sw, precision=_HIGHEST)
-    xr = jnp.einsum("hu,bhfc->bufc", ch, tr, precision=_HIGHEST) - \
-        jnp.einsum("hu,bhfc->bufc", sh, ti, precision=_HIGHEST)
-    xi = jnp.einsum("hu,bhfc->bufc", ch, ti, precision=_HIGHEST) + \
-        jnp.einsum("hu,bhfc->bufc", sh, tr, precision=_HIGHEST)
+    tr = jnp.einsum("bhwc,wf->bhfc", x, cw, precision=precision)
+    ti = jnp.einsum("bhwc,wf->bhfc", x, sw, precision=precision)
+    xr = jnp.einsum("hu,bhfc->bufc", ch, tr, precision=precision) - \
+        jnp.einsum("hu,bhfc->bufc", sh, ti, precision=precision)
+    xi = jnp.einsum("hu,bhfc->bufc", ch, ti, precision=precision) + \
+        jnp.einsum("hu,bhfc->bufc", sh, tr, precision=precision)
     return xr + 1j * xi
 
 
-def _irfft2_matmul(xr, xi, s):
+def _irfft2_matmul(xr, xi, s, precision):
     """torch.fft.irfft2(X, s) semantics: crop the half-spectrum to
     (s0, s1//2+1), hermitian-expand the last freq axis, inverse-DFT via
     matmuls, real part."""
@@ -83,35 +82,44 @@ def _irfft2_matmul(xr, xi, s):
     cw, sw = _dft1d(s1)   # inverse = conj/N
     ch, sh = _dft1d(s0)
     # x = Re( E_H^T @ F @ E_W ) / (s0*s1), E = conj(DFT) = C - iS -> +S sign
-    tr = jnp.einsum("bhvc,vw->bhwc", fr, cw, precision=_HIGHEST) + \
-        jnp.einsum("bhvc,vw->bhwc", fi, sw, precision=_HIGHEST)
-    ti = jnp.einsum("bhvc,vw->bhwc", fi, cw, precision=_HIGHEST) - \
-        jnp.einsum("bhvc,vw->bhwc", fr, sw, precision=_HIGHEST)
-    out = jnp.einsum("uh,buwc->bhwc", ch, tr, precision=_HIGHEST) + \
-        jnp.einsum("uh, buwc->bhwc", sh, ti, precision=_HIGHEST)
+    tr = jnp.einsum("bhvc,vw->bhwc", fr, cw, precision=precision) + \
+        jnp.einsum("bhvc,vw->bhwc", fi, sw, precision=precision)
+    ti = jnp.einsum("bhvc,vw->bhwc", fi, cw, precision=precision) - \
+        jnp.einsum("bhvc,vw->bhwc", fr, sw, precision=precision)
+    out = jnp.einsum("uh,buwc->bhwc", ch, tr, precision=precision) + \
+        jnp.einsum("uh, buwc->bhwc", sh, ti, precision=precision)
     return out / (s0 * s1)
 
 
-def rfft2(x, axes=(1, 2)):
+def rfft2(x, axes=(1, 2), fast=None):
     """2-D real FFT over the spatial axes of an NHWC tensor.
 
     Parity: torch.fft.rfft2(x_nchw, norm='backward') on the matching NCHW
     tensor (reference FDN_arch.py:411, 882-914 etc.). Upcasts sub-f32
     inputs (bf16 inference mode) like the reference's .float() casts.
+
+    fast: matmul-DFT precision. Defaults from the input dtype — sub-f32
+    (bf16 serving) uses fast bf16 matmul passes (profiled: the HIGHEST
+    6-pass DFT dominated the forward); f32 keeps HIGHEST (f32-exact).
     """
+    if fast is None:
+        fast = x.dtype not in (jnp.float32, jnp.float64)
     if x.dtype not in (jnp.float32, jnp.float64):
         x = x.astype(jnp.float32)
     if _FFT_MODE == "matmul" and axes == (1, 2) and x.ndim == 4 \
             and x.dtype == jnp.float32:
-        return _rfft2_matmul(x)
+        return _rfft2_matmul(
+            x, _lax.Precision.DEFAULT if fast else _HIGHEST)
     return jnp.fft.rfft2(x, axes=axes)
 
 
-def irfft2(x, s, axes=(1, 2)):
+def irfft2(x, s, axes=(1, 2), fast=False):
     """Inverse of :func:`rfft2`; `s` is the full spatial size (H, W)."""
     if _FFT_MODE == "matmul" and axes == (1, 2) and x.ndim == 4 \
             and x.dtype == jnp.complex64:
-        return _irfft2_matmul(x.real, x.imag, s)
+        return _irfft2_matmul(
+            x.real, x.imag, s,
+            _lax.Precision.DEFAULT if fast else _HIGHEST)
     return jnp.fft.irfft2(x, s=s, axes=axes)
 
 
