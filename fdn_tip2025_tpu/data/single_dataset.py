@@ -1,0 +1,38 @@
+"""LQ-only dataset for blind/no-reference inference.
+
+Parity: reference basicsr/data/single_image_dataset.py:10-67 — folder /
+meta-info-file listing modes (the lmdb mode is gated on the lmdb package
+like utils.file_client).
+"""
+
+import glob
+import os
+
+import numpy as np
+
+from fdn_tip2025_tpu.utils.img_io import imread
+
+
+class SingleImageDataset:
+    def __init__(self, opt):
+        """opt: dataroot_lq (dir or glob), optional meta_info_file."""
+        self.opt = opt
+        root = opt["dataroot_lq"]
+        meta = opt.get("meta_info_file")
+        if meta:
+            with open(meta) as f:
+                names = [line.split(" ")[0].strip() for line in f if
+                         line.strip()]
+            self.paths = [os.path.join(root, n) for n in names]
+        elif any(ch in root for ch in "*?["):
+            self.paths = sorted(glob.glob(root))
+        else:
+            self.paths = sorted(
+                os.path.join(root, n) for n in os.listdir(root)
+                if n.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx, rng=None):
+        return {"lq": imread(self.paths[idx]), "lq_path": self.paths[idx]}

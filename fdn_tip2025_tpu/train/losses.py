@@ -137,6 +137,28 @@ def tv_loss(x, loss_weight=1.0):
     return loss_weight * (h + w)
 
 
+def spa_loss(pred, target, pool=4):
+    """L_spa (losses.py Zero-DCE spatial-consistency loss): preserve local
+    gradients of mean-pooled luminance between enhanced and original."""
+    pg = avg_pool2d(jnp.mean(pred, -1, keepdims=True), pool, pool, 0)
+    tg = avg_pool2d(jnp.mean(target, -1, keepdims=True), pool, pool, 0)
+
+    def grads(z):
+        return (z[:, 1:, :-1] - z[:, :-1, :-1],
+                z[:, :-1, 1:] - z[:, :-1, :-1])
+
+    pdy, pdx = grads(pg)
+    tdy, tdx = grads(tg)
+    return jnp.mean((pdy - tdy) ** 2 + (pdx - tdx) ** 2)
+
+
+def color_loss(pred):
+    """Sa_Loss / color-constancy style: penalize channel-mean imbalance."""
+    mean_rgb = jnp.mean(pred, axis=(1, 2))
+    r, g, b = mean_rgb[:, 0], mean_rgb[:, 1], mean_rgb[:, 2]
+    return jnp.mean((r - g) ** 2 + (r - b) ** 2 + (g - b) ** 2)
+
+
 LOSS_REGISTRY = {
     "L1Loss": l1_loss,
     "MSELoss": mse_loss,
