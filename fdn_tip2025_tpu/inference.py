@@ -12,7 +12,6 @@ Design notes (TPU-first):
     (inference_fdn_lolv1.py:58-64).
 """
 
-from functools import partial
 
 import numpy as np
 

@@ -1,0 +1,43 @@
+"""Slow convergence checks: trainers actually reduce their losses."""
+
+import numpy as np
+import pytest
+
+from fdn_tip2025_tpu.parallel.mesh import make_mesh
+from fdn_tip2025_tpu.train.engine import create_trainer
+
+
+def _opt(model_type, lr, iters=30):
+    return {
+        "name": "conv", "model_type": model_type, "scale": 1,
+        "manual_seed": 0, "use_ratio": True,
+        "train": {
+            "optim_g": {"type": "AdamW", "lr": lr, "weight_decay": 0.0,
+                        "betas": [0.9, 0.9]},
+            "scheduler": {"type": "TrueCosineAnnealingLR",
+                          "T_max": iters * 10, "eta_min": 1e-7},
+            "total_iter": iters * 10, "warmup_iter": -1,
+        },
+    }
+
+
+@pytest.mark.slow
+def test_mar_overfits_fixed_batch(rng):
+    mesh = make_mesh(1)
+    tr = create_trainer(_opt("ImageRestorationModel_ipretrain", 5e-4),
+                        mesh=mesh)
+    batch = {"lq": rng.random((2, 32, 32, 3), dtype=np.float32) * 0.2,
+             "gt": rng.random((2, 32, 32, 3), dtype=np.float32)}
+    losses = [float(tr.train_step(batch)["l_total"]) for _ in range(30)]
+    assert losses[-1] < losses[0] * 0.7, losses[::6]
+
+
+@pytest.mark.slow
+def test_lpnet_regresses_ratio(rng):
+    mesh = make_mesh(1)
+    tr = create_trainer(_opt("ImageRestorationModel_ipred", 1e-3),
+                        mesh=mesh)
+    batch = {"lq": rng.random((2, 64, 64, 3), dtype=np.float32) * 0.2,
+             "gt": rng.random((2, 64, 64, 3), dtype=np.float32)}
+    losses = [float(tr.train_step(batch)["l_pix"]) for _ in range(30)]
+    assert losses[-1] < losses[0] * 0.7, losses[::6]
