@@ -53,7 +53,7 @@ def init_fdformer(key, inp_channels=3, out_channels=3, dim=48,
     }
 
 
-def _run_blocks(params, state, att, use_light, use_scan=True):
+def _run_blocks(params, state, att, use_light, use_scan=None):
     """Run a stack of same-shaped TransformerBlocks.
 
     use_scan stacks the per-block param trees and lax.scans one block body
@@ -61,6 +61,9 @@ def _run_blocks(params, state, att, use_light, use_scan=True):
     ~N-fold for the 44-block FDformer with identical numerics (the blocks
     are structurally identical within a group).
     """
+    import os
+    if use_scan is None:
+        use_scan = os.environ.get("FDN_UNROLL") != "1"
     n = len(params)
     if not use_scan or n == 1:
         for i in range(n):

@@ -250,6 +250,55 @@ def _dft_combined(dtype_name="float32"):
     return jnp.asarray(W, dt), jnp.asarray(A, dt)
 
 
+def rfft2_patch8_img(x):
+    """Transpose-free patch rfft2 in natural image order.
+
+    x: (B, H, W, C) -> (re, im) each (B, H/8, 8, W/8, 5, C): only free
+    reshapes (adjacent-dim splits) + contractions over interior 8-dims —
+    no patchify transpose, so XLA emits no layout copies for the patch
+    round trip (patchify8's (0,1,3,2,4,5) transpose showed up as ~30% of
+    the forward in device profiles).
+    """
+    b, h, w, c = x.shape
+    fc, fs, _, _ = _dft_mats(str(x.dtype))
+    fck, fsk = fc[:, :_RFREQ], fs[:, :_RFREQ]
+    x6 = x.reshape(b, h // 8, 8, w // 8, 8, c)
+    tr = jnp.einsum("bimjnc,nv->bimjvc", x6, fck)
+    ti = jnp.einsum("bimjnc,nv->bimjvc", x6, fsk)
+    xr = jnp.einsum("bimjvc,mu->biujvc", tr, fc) - jnp.einsum(
+        "bimjvc,mu->biujvc", ti, fs)
+    xi = jnp.einsum("bimjvc,mu->biujvc", ti, fc) + jnp.einsum(
+        "bimjvc,mu->biujvc", tr, fs)
+    return xr, xi
+
+
+def param85(p):
+    """(8, 5, C) patch-FFT param -> broadcastable (1,1,8,1,5,C)."""
+    return p[None, None, :, None, :, :]
+
+
+def irfft2_patch8_img(xr, xi):
+    """Inverse of rfft2_patch8_img: (B, hb, 8, wb, 5, C) -> (B, H, W, C).
+
+    Hermitian expansion via an interior-dim flip/roll (cheap slices, no
+    transpose), two inverse-DFT contractions, free merges back to image.
+    """
+    b, hb, _, wb, _, c = xr.shape
+    _, _, ec, es = _dft_mats(str(xr.dtype))
+    # tail columns v = 5..7: conj(X[(8-u) % 8, 8-v])
+    rev_r = jnp.roll(jnp.flip(xr, axis=2), 1, axis=2)
+    rev_i = jnp.roll(jnp.flip(xi, axis=2), 1, axis=2)
+    fr = jnp.concatenate([xr, rev_r[:, :, :, :, 3:0:-1]], axis=4)
+    fi = jnp.concatenate([xi, -rev_i[:, :, :, :, 3:0:-1]], axis=4)
+    tr = jnp.einsum("biujvc,vn->biujnc", fr, ec) - jnp.einsum(
+        "biujvc,vn->biujnc", fi, es)
+    ti = jnp.einsum("biujvc,vn->biujnc", fi, ec) + jnp.einsum(
+        "biujvc,vn->biujnc", fr, es)
+    out = jnp.einsum("biujnc,um->bimjnc", tr, ec) - jnp.einsum(
+        "biujnc,um->bimjnc", ti, es)
+    return out.reshape(b, hb * 8, wb * 8, c)
+
+
 def patchify8(x):
     """(B, H, W, C) -> (B, H/8, W/8, 8, 8, C) blocks of 8x8 patches.
 
