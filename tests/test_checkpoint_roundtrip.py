@@ -58,3 +58,21 @@ def test_find_latest_state(tmp_path):
     (tmp_path / "junk").mkdir()
     assert find_latest_state(str(tmp_path)).endswith("5000.state")
     assert find_latest_state(str(tmp_path / "nope")) is None
+
+
+def test_fdn_export_import_roundtrip(tmp_path):
+    """FDN (incl. 5-D fft/ffta/fftp params) exports to .pth and re-imports
+    bit-identically."""
+    from fdn_tip2025_tpu.models import init_fdn
+    from fdn_tip2025_tpu.checkpoint import load_model_from_pth
+    from fdn_tip2025_tpu.utils.pytree import flatten
+
+    params = init_fdn(KEY)
+    path = str(tmp_path / "fdn_export.pth")
+    export_torch_pth(params, path)
+    back = load_model_from_pth(path, init_fdn(jax.random.PRNGKey(7)))
+    fa, fb = flatten(params), flatten(back)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
+                                   atol=1e-6, err_msg=k)
