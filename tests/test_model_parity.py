@@ -99,8 +99,11 @@ def test_ipredict_real_checkpoint(rng):
     assert_close(np.asarray(got_ori), ref_ori.numpy(), atol=1e-3)
 
 
-@pytest.mark.skipif(os.environ.get("RUN_SLOW", "1") != "1",
-                    reason="full-size FDN parity is slow")
+@pytest.mark.skipif(os.environ.get("RUN_SLOW", "0") != "1",
+                    reason="full-size FDN parity takes ~7 min on a 1-core "
+                           "CPU; RUN_SLOW=1 to enable (covered at smaller "
+                           "scale by test_fdformer_small_parity + stage "
+                           "tests)")
 def test_fdn_full_parity(rng, monkeypatch):
     """Full FDN (8M params): frozen-MAR + prior wiring on a 32x32 input.
 
