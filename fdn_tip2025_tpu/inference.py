@@ -109,5 +109,6 @@ class FDNPredictor:
     def predict_ratio(self, img):
         if img.ndim == 3:
             img = img[None]
-        x = jnp.asarray(img, jnp.float32)
-        return np.asarray(ipredict_forward(self.lpnet_params, x))
+        x = jnp.asarray(img, self.dtype)  # match the params' compute dtype
+        return np.asarray(
+            ipredict_forward(self.lpnet_params, x).astype(jnp.float32))

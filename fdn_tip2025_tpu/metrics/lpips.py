@@ -90,8 +90,9 @@ def lpips(params, x, y, normalize=True):
     fy = _features(params, y)
     total = 0.0
     for f1, f2, w in zip(fx, fy, params["lins"]):
-        n1 = f1 / jnp.sqrt(jnp.sum(f1 * f1, -1, keepdims=True) + 1e-10)
-        n2 = f2 / jnp.sqrt(jnp.sum(f2 * f2, -1, keepdims=True) + 1e-10)
+        # lpips.normalize_tensor convention: x / (||x||_c + eps)
+        n1 = f1 / (jnp.sqrt(jnp.sum(f1 * f1, -1, keepdims=True)) + 1e-10)
+        n2 = f2 / (jnp.sqrt(jnp.sum(f2 * f2, -1, keepdims=True)) + 1e-10)
         d = (n1 - n2) ** 2
         total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
     return total

@@ -10,8 +10,8 @@ import jax.numpy as jnp
 
 from fdn_tip2025_tpu.ops import (
     conv2d, init_conv2d, layer_norm_2d, init_layer_norm,
-    patchify8, unpatchify8, rfft2_patch8, irfft2_patch8, replace_denormals,
-    rfft2, irfft2, gelu,
+    patchify8, unpatchify8, rfft2_patch8_flat, irfft2_patch8_flat,
+    replace_denormals, rfft2, irfft2, gelu,
 )
 from fdn_tip2025_tpu.ops.fourier import amp_phase_ri, polar_ri, amp_phase, polar
 
@@ -59,11 +59,17 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
         out = out.reshape(b, hh // 8, ww // 8, 8, 8, ch)
         x = unpatchify8(out) + x1
     else:
-        pr, pi = rfft2_patch8(patchify8(x))
+        # packed-lane spectral rotation (see rfft2_patch8_flat rationale)
+        pr, pi = rfft2_patch8_flat(patchify8(x).reshape(-1, 64, hidden))
         pr, pi = replace_denormals((pr, pi))
-        rr = pr * cr + pi * sr
-        ii = pi * cr - pr * sr
-        x = unpatchify8(irfft2_patch8(rr, ii)) + x1
+        crf = cr.reshape(40 * hidden)
+        srf = sr.reshape(40 * hidden)
+        rr = pr * crf + pi * srf
+        ii = pi * crf - pr * srf
+        b, hh, ww, _ = x.shape
+        out = irfft2_patch8_flat(rr, ii).reshape(
+            b, hh // 8, ww // 8, 8, 8, hidden)
+        x = unpatchify8(out) + x1
 
     g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
                padding=1, groups=hidden)
@@ -74,6 +80,13 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
 
 
 def init_fcaffn(key, dim, bias=False, r=1.0, use_light=True, use_img=True):
+    """Quirks preserved deliberately for checkpoint parity (verified
+    against FDN_arch.py:381-429): the reference's own project_out is
+    Conv2d(dim, hidden) (benign: r=1.0 everywhere), its mul/add branch is
+    gated on use_light (not use_img), and norm/dwconv are created under
+    use_img yet used under use_light/unconditionally. FCAFFN is only ever
+    constructed with use_light=use_img=True (TransformerBlock,
+    FDN_arch.py:662-663), so none of this is reachable otherwise."""
     hidden = int(r * dim)
     ks = jax.random.split(key, 10)
     p = {
@@ -112,10 +125,18 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
                    params["conv1_xp"].get("bias")).astype(jnp.float32)
         a = conv2d(x_high, params["conv1_xa"]["weight"],
                    params["conv1_xa"].get("bias")).astype(jnp.float32)
-        cos_c, sin_c = jnp.cos(c), jnp.sin(c)
-        fr, fi = f.real, f.imag
-        out = (a * (fr * cos_c + fi * sin_c)) + 1j * (
-            a * (fi * cos_c - fr * sin_c))
+        # packed-lane elementwise: merge (Wf, C) so the modulation runs on
+        # full 128-lane tiles instead of C-padded ones (see
+        # rfft2_patch8_flat rationale in ops.fourier)
+        bsz, hh, wf, ch = f.shape
+        flat = (bsz, hh, wf * ch)
+        cos_c = jnp.cos(c).reshape(flat)
+        sin_c = jnp.sin(c).reshape(flat)
+        af = a.reshape(flat)
+        fr, fi = f.real.reshape(flat), f.imag.reshape(flat)
+        out_r = af * (fr * cos_c + fi * sin_c)
+        out_i = af * (fi * cos_c - fr * sin_c)
+        out = (out_r + 1j * out_i).reshape(bsz, hh, wf, ch)
         x = irfft2(out, s=(h, w),
                    fast=x1.dtype == jnp.bfloat16).astype(x1.dtype)
         nb = params["norm"]["body"]

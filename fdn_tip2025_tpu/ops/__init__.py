@@ -10,6 +10,8 @@ from fdn_tip2025_tpu.ops.fourier import (
     unpatchify8,
     rfft2_patch8,
     irfft2_patch8,
+    rfft2_patch8_flat,
+    irfft2_patch8_flat,
 )
 from fdn_tip2025_tpu.ops.conv import (
     conv2d,

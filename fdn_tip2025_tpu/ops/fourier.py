@@ -299,6 +299,36 @@ def irfft2_patch8_img(xr, xi):
     return out.reshape(b, hb * 8, wb * 8, c)
 
 
+def rfft2_patch8_flat(x):
+    """Patch rfft2 returning PACKED half-spectrum planes.
+
+    Input (..., 64, C) patches -> (re, im), each (..., 40*C) with row-major
+    (freq, channel) packing. Rationale (measured on v5e, OPTIMIZATIONS.md
+    "lane packing"): the (..., 8, 5, C) layout puts C on the 128-lane axis
+    (C=38/86 at dim 32 pads 3.4x/1.5x) and 5 on the 8-sublane axis (1.6x),
+    so every elementwise pass of the FDSA/FDFFN spectral algebra wastes up
+    to 5.4x of HBM bandwidth; the flat (..., 40C) layout is fully packed
+    and XLA fuses the reshape into the DFT matmul epilogue (3.4x measured
+    on the FDFFN chain). Values are IDENTICAL to rfft2_patch8 modulo
+    reshape.
+    """
+    W, _ = _dft_combined(str(x.dtype))
+    *b, _, c = x.shape
+    f = jnp.einsum("fk,...kc->...fc", W, x).reshape(*b, 80 * c)
+    return f[..., :40 * c], f[..., 40 * c:]
+
+
+def irfft2_patch8_flat(re, im):
+    """Inverse of rfft2_patch8_flat: packed (..., 40*C) re/im planes ->
+    (..., 64, C) patches (hermitian expansion folded, like irfft2_patch8).
+    """
+    _, A = _dft_combined(str(re.dtype))
+    *b, fc = re.shape
+    c = fc // 40
+    mod = jnp.concatenate([re, im], axis=-1).reshape(*b, 80, c)
+    return jnp.einsum("kf,...fc->...kc", A, mod)
+
+
 def patchify8(x):
     """(B, H, W, C) -> (B, H/8, W/8, 8, 8, C) blocks of 8x8 patches.
 

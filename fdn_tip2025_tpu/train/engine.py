@@ -17,6 +17,8 @@ and each step is one compiled program with donated buffers.
 """
 
 import functools
+import logging
+import warnings
 
 import numpy as np
 
@@ -52,6 +54,8 @@ def compute_ratio(lq, gt=None, use_ratio=True):
 class BaseTrainer:
     """Owns params/opt_state, the jitted step, schedulers, mesh sharding."""
 
+    _REQUIRES_VGG = False  # reference objective has an unconditional VGG term
+
     def __init__(self, opt, mesh=None, vgg_params=None):
         self.opt = opt
         self.mesh = mesh if mesh is not None else make_mesh()
@@ -70,7 +74,23 @@ class BaseTrainer:
         self.perceptual = None
         if vgg_params is not None:
             from fdn_tip2025_tpu.train.perceptual import make_perceptual_loss
-            self.perceptual = make_perceptual_loss(vgg_params)
+            p_opt = dict(train_opt.get("perceptual_opt", {}))
+            kwargs = {k: p_opt[k] for k in
+                      ("layer_weights", "use_input_norm", "range_norm",
+                       "perceptual_weight", "criterion") if k in p_opt}
+            self.perceptual = make_perceptual_loss(vgg_params, **kwargs)
+        elif self._REQUIRES_VGG:
+            # The reference trains this model type with an unconditional
+            # VGG term (L1+0.1*FFT+0.01*VGG for FDN,
+            # image_restoration_model.py:175-177,477-491; MSE+10*VGG+...
+            # for MARLoss, losses.py:764-774). Without weights the
+            # objective differs — be loud, never silent.
+            msg = (f"{type(self).__name__}: no VGG19 weights supplied — "
+                   "the perceptual term of the reference objective is "
+                   "DISABLED (pass --vgg-weights / path.vgg_weights for "
+                   "the reference training recipe)")
+            warnings.warn(msg, stacklevel=2)
+            logging.getLogger("fdn_tip2025_tpu").warning(msg)
         seed = int(opt.get("manual_seed", 0))
         self.key = jax.random.PRNGKey(seed)
         self._build_params()
@@ -110,6 +130,25 @@ class BaseTrainer:
         """Full (trainable + frozen) model params."""
         return {**self.frozen, **self.trainable}
 
+    def load_params(self, params, strict=True):
+        """Load full model params (pretrain_network_g path), preserving the
+        trainable/frozen split. strict mirrors strict_load_g: the incoming
+        tree must contain exactly the expected top-level entries (the
+        reference's load_network logs diffs but forces strict=False,
+        base_model.py:279-284 — a bug we consciously fix)."""
+        expected = set(self.frozen) | set(self.trainable)
+        got = set(params)
+        if strict and got != expected:
+            raise KeyError(
+                f"checkpoint/model key mismatch: missing {expected - got}, "
+                f"unexpected {got - expected}")
+        frozen = {k: params[k] for k in self.frozen if k in params}
+        trainable = {k: v for k, v in params.items()
+                     if k not in self.frozen and k in expected}
+        self.frozen = replicate_tree({**self.frozen, **frozen}, self.mesh)
+        self.trainable = replicate_tree(
+            {**self.trainable, **trainable}, self.mesh)
+
     def current_lr(self):
         return float(self.schedule(self.step))
 
@@ -117,10 +156,22 @@ class BaseTrainer:
 class FDNTrainer(BaseTrainer):
     """model_type: ImageRestorationModel — trains FDformer, MAR frozen."""
 
+    _REQUIRES_VGG = True
+
     def __init__(self, opt, mesh=None, vgg_params=None, mar_params=None,
                  variant="fdn"):
         self.variant = variant
         self._mar_params = mar_params
+        # config-driven losses (FDN.yml pixel_opt/fft_loss_opt), with the
+        # reference defaults: L1 weight 1.0 + FFTLoss weight 0.1
+        # (image_restoration_model.py:477-491).
+        train_opt = opt.get("train", {})
+        self._cri_pix = L.build_loss(train_opt.get(
+            "pixel_opt",
+            {"type": "L1Loss", "loss_weight": 1.0, "reduction": "mean"}))
+        self._cri_fft = L.build_loss(train_opt.get(
+            "fft_loss_opt",
+            {"type": "FFTLoss", "loss_weight": 0.1, "reduction": "mean"}))
         super().__init__(opt, mesh, vgg_params)
 
     def _build_params(self):
@@ -139,8 +190,8 @@ class FDNTrainer(BaseTrainer):
         ratio = compute_ratio(lq, gt, self.use_ratio)
         fwd = fdn_forward if self.variant == "fdn" else fdn_lolv1_forward
         out = fwd(params, lq, ratio)[0]
-        l_pix = L.l1_loss(out, gt)
-        l_fft = L.fft_loss(out, gt, loss_weight=0.1)
+        l_pix = self._cri_pix(out, gt)
+        l_fft = self._cri_fft(out, gt)
         total = l_pix + l_fft
         aux = {"l_pix": l_pix, "l_fft": l_fft}
         if self.perceptual is not None:
@@ -153,6 +204,8 @@ class FDNTrainer(BaseTrainer):
 
 class MARTrainer(BaseTrainer):
     """model_type: ImageRestorationModel_ipretrain — 3-scale MARLoss."""
+
+    _REQUIRES_VGG = True
 
     def _build_params(self):
         self.trainable = init_mar(self.key)

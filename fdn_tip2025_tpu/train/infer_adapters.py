@@ -38,11 +38,16 @@ def make_predict_fn(model_type, trainer):
 
         def predict(lq, gt=None):
             x = jnp.asarray(lq, jnp.float32)[None]
-            x, hw = pad_to_multiple(x, 32)
-            # val-time ratio: gray-mean of the input (use_ratio validation
-            # path feeds gt-free ratio, image_restoration_model.py:735
-            # with is_val=True -> ratio from lq gray mean)
+            # reference validation ratio protocol: mean(gray lq) /
+            # mean(gray gt) (image_restoration_model.py:649-658), computed
+            # on the UNpadded images (feed_data_ir runs before test()'s
+            # reflect pad). Falls back to mean(gray lq) when no GT exists
+            # (SingleImageDataset inference path).
             ratio = jnp.mean(grayscale(x), axis=(1, 2, 3))[:, None]
+            if use_ratio and gt is not None:
+                g = jnp.asarray(gt, jnp.float32)[None]
+                ratio = ratio / jnp.mean(grayscale(g), axis=(1, 2, 3))[:, None]
+            x, hw = pad_to_multiple(x, 32)
 
             def f(p, x, r):
                 return fwd(p, x, r)[0]
@@ -55,9 +60,12 @@ def make_predict_fn(model_type, trainer):
     if model_type == "ImageRestorationModel_ipretrain":
         def predict(lq, gt=None):
             x = jnp.asarray(lq, jnp.float32)[None]
+            ratio = jnp.mean(grayscale(x), axis=(1, 2, 3))
+            if use_ratio and gt is not None:
+                g = jnp.asarray(gt, jnp.float32)[None]
+                ratio = ratio / jnp.mean(grayscale(g), axis=(1, 2, 3))
+            ratio = ratio[:, None, None, None]
             x, hw = pad_to_multiple(x, 32)
-            ratio = jnp.mean(grayscale(x), axis=(1, 2, 3))[:, None, None,
-                                                           None]
 
             def f(p, x, r):
                 return mar_forward(p, x, r)[2]

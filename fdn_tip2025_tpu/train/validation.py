@@ -31,7 +31,10 @@ def validate(predict_fn, dataset, metrics_opt, save_dir=None,
         sample = dataset[idx] if not hasattr(dataset, "__getitem__") else \
             dataset.__getitem__(idx)
         lq, gt = sample["lq"], sample["gt"]
-        out = predict_fn(lq)
+        # gt is passed so the predictor can apply the reference's
+        # validation ratio protocol mean(gray lq)/mean(gray gt)
+        # (image_restoration_model.py:649-658).
+        out = predict_fn(lq, gt)
         sr_img = tensor2img(out, rgb2bgr=rgb2bgr)
         gt_img = tensor2img(gt, rgb2bgr=rgb2bgr)
         if save_dir:

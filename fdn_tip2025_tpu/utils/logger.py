@@ -45,6 +45,27 @@ def init_tb_logger(log_dir):
     return SummaryWriter(log_dir=log_dir)
 
 
+def init_wandb_logger(opt):
+    """wandb in TB-sync mode (reference logger.py:94-118): wandb mirrors
+    the TensorBoard scalars, so no separate logging calls are needed.
+    Import-gated — this offline image has no wandb; configs enable it via
+    logger.wandb.project like the reference YAML schema."""
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning(
+            "logger.wandb configured but wandb is not installed — skipped")
+        return None
+    wandb_opt = opt["logger"]["wandb"]
+    resume_id = wandb_opt.get("resume_id")
+    kwargs = dict(resume="allow", id=resume_id) if resume_id else {}
+    wandb.init(project=wandb_opt["project"], name=opt["name"],
+               config=opt, sync_tensorboard=True, **kwargs)
+    get_root_logger().info(
+        f"wandb logger initialized (project={wandb_opt['project']})")
+    return wandb
+
+
 class MessageLogger:
     def __init__(self, opt, start_iter=1, tb_logger=None):
         self.exp_name = opt["name"]

@@ -58,9 +58,15 @@ def _install_torchvision_stub():
     def _unavailable(*a, **k):
         raise RuntimeError("torchvision vgg weights unavailable in tests")
 
-    for n in ("vgg11", "vgg13", "vgg16", "vgg19", "vgg11_bn", "vgg13_bn",
+    for n in ("vgg11", "vgg13", "vgg11_bn", "vgg13_bn",
               "vgg16_bn", "vgg19_bn"):
         setattr(vgg_mod, n, _unavailable)
+    # vgg16/vgg19 return RANDOM-INIT plain-torch replicas of the
+    # torchvision layouts (cfg D/E: 3x3 convs pad 1, ReLU, MaxPool 2x2),
+    # so the reference's VGGFeatureExtractor/PerceptualLoss are importable
+    # and parity-testable without pretrained weights.
+    vgg_mod.vgg16 = lambda *a, **k: make_random_vgg("vgg16")
+    vgg_mod.vgg19 = lambda *a, **k: make_random_vgg("vgg19")
     models.vgg = vgg_mod
     tv.models = models
 
@@ -101,6 +107,48 @@ def _install_misc_stubs():
 
         gmt.MemTracker = MemTracker
         sys.modules["gpu_mem_track"] = gmt
+
+
+_VGG_CFG = {
+    "vgg16": [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+              512, 512, 512, "M", 512, 512, 512, "M"],
+    "vgg19": [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+              512, 512, 512, 512, "M", 512, 512, 512, 512, "M"],
+}
+
+
+def make_random_vgg(kind="vgg19"):
+    """Plain-torch VGG with torchvision's `features` Sequential layout
+    (same module indices as torchvision cfg D/E), randomly initialized."""
+    import torch.nn as nn
+
+    layers = []
+    in_ch = 3
+    for v in _VGG_CFG[kind]:
+        if v == "M":
+            layers.append(nn.MaxPool2d(kernel_size=2, stride=2))
+        else:
+            layers += [nn.Conv2d(in_ch, v, kernel_size=3, padding=1),
+                       nn.ReLU(inplace=True)]
+            in_ch = v
+
+    class _VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return self.features(x)
+
+    net = _VGG()
+
+    def load_state_dict(sd, strict=True):  # tolerate full torchvision sds
+        own = nn.Module.load_state_dict
+        filtered = {k: v for k, v in sd.items() if k.startswith("features.")}
+        return own(net, filtered, strict=False)
+
+    net.load_state_dict = load_state_dict
+    return net
 
 
 def import_ref_arch(name="FDN_arch"):

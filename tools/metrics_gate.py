@@ -47,7 +47,27 @@ def main():
     ap.add_argument("--img-dir", required=True)
     ap.add_argument("--ref-dir", required=True)
     ap.add_argument("--csv", default="./metrics.csv")
+    ap.add_argument("--lpips-vgg", default=None,
+                    help="torchvision vgg16 .pth (required for -m lpips)")
+    ap.add_argument("--lpips-lin", default=None,
+                    help="lpips linear-head .pth (required for -m lpips)")
     args = ap.parse_args()
+
+    lpips_fn = None
+    if "lpips" in args.metrics:
+        if not (args.lpips_vgg and args.lpips_lin):
+            raise SystemExit(
+                "-m lpips needs --lpips-vgg <vgg16.pth> and --lpips-lin "
+                "<lpips lin .pth> (no pretrained weights are bundled)")
+        import jax
+        import jax.numpy as jnp
+        from fdn_tip2025_tpu.metrics.lpips import load_lpips_params, lpips
+        lp_params = load_lpips_params(args.lpips_vgg, args.lpips_lin)
+        jl = jax.jit(lambda x, y: lpips(lp_params, x, y, normalize=True))
+
+        def lpips_fn(a, b):
+            # imread returns RGB float [0,1] — LPIPS consumes RGB directly
+            return float(jl(jnp.asarray(a)[None], jnp.asarray(b)[None])[0])
 
     imgs = list_images(args.img_dir)
     refs = list_images(args.ref_dir)
@@ -70,9 +90,7 @@ def main():
                 from fdn_tip2025_tpu.metrics.niqe import calculate_niqe
                 v = calculate_niqe((a[..., ::-1] * 255), crop_border=0)
             elif m == "lpips":
-                raise SystemExit(
-                    "lpips needs pretrained weights; pass them via the "
-                    "python API (metrics.lpips) — not available offline")
+                v = lpips_fn(a, b)
             row[m] = float(v)
             sums[m] += float(v)
         rows.append(row)

@@ -21,6 +21,10 @@ def main():
     ap.add_argument("-opt", required=True)
     ap.add_argument("--ckpt", default=None,
                     help="native checkpoint dir or torch .pth")
+    ap.add_argument("--lpnet-ckpt", default=None,
+                    help="LPNet weights: use the predicted-ratio inference "
+                         "protocol instead of the default GT-ratio test "
+                         "protocol (image_restoration_model.py:649-658)")
     ap.add_argument("--save-img", action="store_true")
     ap.add_argument("--max-images", type=int, default=None)
     args = ap.parse_args()
@@ -41,12 +45,32 @@ def main():
     model_type = opt["model_type"]
 
     if model_type == "ImageRestorationModel":
+        import numpy as np
+        import jax.numpy as jnp
+        from fdn_tip2025_tpu.ops import grayscale
+
         variant = "lolv1" if opt.get("network_g", {}).get("type") == \
             "FDN_lolv1" else "lolblur"
-        pred = FDNPredictor(variant=variant, fdn_ckpt=args.ckpt)
+        pred = FDNPredictor(variant=variant, fdn_ckpt=args.ckpt,
+                            lpnet_ckpt=args.lpnet_ckpt)
 
-        def predict(lq):
-            return pred.restore(lq)
+        if args.lpnet_ckpt:
+            # inference protocol: LPNet-predicted ratio
+            # (inference_fdn_lolblur.py:65-71 / lolv1:58-64)
+            def predict(lq, gt=None):
+                return pred.restore(lq)
+        else:
+            # reference test protocol: ratio = mean(gray lq)/mean(gray gt)
+            # (image_restoration_model.py:649-658). Never evaluate with a
+            # randomly-initialized LPNet.
+            def predict(lq, gt=None):
+                if gt is None:
+                    raise SystemExit(
+                        "GT-ratio test protocol needs paired GT; pass "
+                        "--lpnet-ckpt for the LPNet-ratio protocol")
+                r = (np.mean(np.asarray(grayscale(jnp.asarray(lq)[None])))
+                     / np.mean(np.asarray(grayscale(jnp.asarray(gt)[None]))))
+                return pred.restore(lq, ratio=r)
     elif model_type == "ImageRestorationModel_ipretrain":
         import numpy as np
         import jax.numpy as jnp
@@ -56,11 +80,14 @@ def main():
         params = _load_params(args.ckpt, init_mar(jax.random.PRNGKey(0)))
         jfwd = jax.jit(lambda p, x, r: mar_forward(p, x, r)[2])
 
-        def predict(lq):
+        def predict(lq, gt=None):
             x = jnp.asarray(lq, jnp.float32)[None]
+            ratio = jnp.mean(grayscale(x), axis=(1, 2, 3))
+            if gt is not None:
+                g = jnp.asarray(gt, jnp.float32)[None]
+                ratio = ratio / jnp.mean(grayscale(g), axis=(1, 2, 3))
+            ratio = ratio[:, None, None, None]
             x, hw = pad_to_multiple(x, 32)
-            ratio = jnp.mean(grayscale(x), axis=(1, 2, 3))[:, None, None,
-                                                           None]
             return np.asarray(unpad(jfwd(params, x, ratio), hw))[0]
     else:
         raise SystemExit(f"test.py does not support {model_type}")

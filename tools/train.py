@@ -52,22 +52,59 @@ def main():
     make_exp_dirs(opt)
     logger = get_root_logger(
         log_file=os.path.join(opt["path"]["log"], "train.log"))
-    tb = init_tb_logger(os.path.join(opt["path"]["log"], "tb")) \
-        if opt.get("logger", {}).get("use_tb_logger") else None
+    tb = None
+    if opt.get("logger", {}).get("use_tb_logger"):
+        # wandb first, in TB-sync mode (train_ir.py:91-96 ordering)
+        if (opt["logger"].get("wandb") or {}).get("project"):
+            from fdn_tip2025_tpu.utils.logger import init_wandb_logger
+            init_wandb_logger(opt)
+        tb = init_tb_logger(os.path.join(opt["path"]["log"], "tb"))
 
     mesh = make_mesh(args.num_devices)
     n_dev = mesh.devices.size
     logger.info(f"mesh: {n_dev} devices ({mesh.devices.ravel()[0].platform})")
 
+    path_opt = opt.get("path", {}) or {}
+
+    vgg_path = args.vgg_weights or path_opt.get("vgg_weights")
     vgg_params = None
-    if args.vgg_weights and os.path.exists(args.vgg_weights):
+    if vgg_path and os.path.exists(vgg_path):
         from fdn_tip2025_tpu.train.perceptual import load_vgg19_params
-        vgg_params = load_vgg19_params(args.vgg_weights)
+        vgg_params = load_vgg19_params(vgg_path)
         logger.info("perceptual loss: VGG19 weights loaded")
     else:
-        logger.info("perceptual loss: DISABLED (no VGG19 weights)")
+        logger.warning("perceptual loss: DISABLED (no VGG19 weights) — "
+                       "objective deviates from the reference recipe")
 
-    trainer = create_trainer(opt, mesh=mesh, vgg_params=vgg_params)
+    # frozen-MAR weights for FDN (reference loads fourier_gamma.pth inside
+    # FDN.__init__, FDN_arch.py:860-862 — here it is explicit config)
+    kwargs = {}
+    if opt["model_type"] == "ImageRestorationModel":
+        mar_path = path_opt.get("pretrain_mar")
+        if mar_path:
+            kwargs["mar_params"] = _load_ckpt(
+                mar_path, template_kind="mar",
+                strict=path_opt.get("strict_load_g", True))
+            logger.info(f"frozen MAR weights: {mar_path}")
+        else:
+            logger.warning(
+                "path.pretrain_mar not set — FDN will train against a "
+                "RANDOMLY-INITIALIZED frozen MAR (the reference 3-stage "
+                "recipe pretrains MAR first)")
+
+    trainer = create_trainer(opt, mesh=mesh, vgg_params=vgg_params,
+                             **kwargs)
+
+    # pretrain_network_g: warm-start full model params (check_resume
+    # semantics, misc.py:137-165: an explicit resume_state supersedes it)
+    pretrain_g = path_opt.get("pretrain_network_g")
+    if pretrain_g and not path_opt.get("resume_state"):
+        trainer.load_params(
+            _load_ckpt(pretrain_g, template_kind=opt["model_type"],
+                       strict=path_opt.get("strict_load_g", True),
+                       trainer=trainer),
+            strict=path_opt.get("strict_load_g", True))
+        logger.info(f"pretrain_network_g loaded: {pretrain_g}")
 
     # data
     ds_opt = opt["datasets"]["train"]
@@ -86,8 +123,10 @@ def main():
     logger.info(f"dataset: {len(dataset)} pairs, global batch "
                 f"{global_batch}")
 
-    # auto-resume
-    state_path = find_latest_state(opt["path"]["training_states"])
+    # resume: explicit path.resume_state wins, else auto-scan
+    # (train_ir.py:174-197)
+    state_path = path_opt.get("resume_state") or \
+        find_latest_state(opt["path"]["training_states"])
     if state_path:
         state = load_training_state(state_path)
         trainer.trainable = state["trainable"]
@@ -102,8 +141,15 @@ def main():
     save_freq = int(opt.get("logger", {}).get("save_checkpoint_freq", 5000))
     print_freq = int(opt.get("logger", {}).get("print_freq", 100))
 
+    # H2D double-buffering: device_put the next batches (batch-sharded)
+    # while the current step computes — the CUDAPrefetcher analog
+    # (prefetch_dataloader.py:84-126).
+    from fdn_tip2025_tpu.data.loader import prefetch_to_device
+    from fdn_tip2025_tpu.parallel.mesh import batch_sharding
+    batches = prefetch_to_device(loader, sharding=batch_sharding(mesh))
+
     data_t = iter_t = time.time()
-    for batch in loader:
+    for batch in batches:
         if trainer.step >= total_iter:
             break
         data_time = time.time() - data_t
@@ -123,8 +169,25 @@ def main():
                                 trainer.trainable, trainer.frozen,
                                 trainer.opt_state, step)
             logger.info(f"checkpoint @ {step}")
-        if step % val_freq == 0 and "val" in opt.get("datasets", {}):
-            _run_val(opt, trainer, logger, tb, step)
+        if step % val_freq == 0:
+            # cross-job validation mutex (train_ir_gx.py:322-406 protocol:
+            # jobs sharing an accelerator take turns on memory-heavy
+            # validation); enabled via val.share_lock: <lockfile path>
+            lock_path = opt.get("val", {}).get("share_lock")
+            if lock_path:
+                from fdn_tip2025_tpu.utils.coordination import FileLock
+                with FileLock(lock_path):
+                    for phase in opt.get("datasets", {}):
+                        if phase.startswith("val"):
+                            _run_val(opt, trainer, logger, tb, step,
+                                     phase=phase)
+            else:
+                # every dataset phase named val* runs (train_ir.py:147-158
+                # val_tiny multi-phase protocol)
+                for phase in opt.get("datasets", {}):
+                    if phase.startswith("val"):
+                        _run_val(opt, trainer, logger, tb, step,
+                                 phase=phase)
 
     save_network(opt["path"]["models"], trainer.params, trainer.step)
     save_training_state(opt["path"]["training_states"], trainer.trainable,
@@ -132,23 +195,46 @@ def main():
     logger.info(f"training done @ iter {trainer.step}")
 
 
-def _run_val(opt, trainer, logger, tb, step):
+def _load_ckpt(path, template_kind, strict=True, trainer=None):
+    """Load a native checkpoint dir or torch .pth into the right param
+    template. For .pth the template provides target shapes/layout."""
+    from fdn_tip2025_tpu.checkpoint.manager import load_network
+    from fdn_tip2025_tpu.checkpoint import load_model_from_pth
+
+    if not path.endswith(".pth"):
+        return load_network(path)
+
+    import jax
+
+    if template_kind == "mar":
+        from fdn_tip2025_tpu.models import init_mar
+        template = init_mar(jax.random.PRNGKey(0))
+    elif trainer is not None:
+        template = trainer.params
+    else:
+        raise ValueError(f"no template for {template_kind}")
+    return load_model_from_pth(path, template, strict=strict)
+
+
+def _run_val(opt, trainer, logger, tb, step, phase="val"):
     from fdn_tip2025_tpu.data.paired_dataset import PairedImageDataset
     from fdn_tip2025_tpu.train.validation import validate
     from fdn_tip2025_tpu.train.infer_adapters import make_predict_fn
 
-    val_ds = PairedImageDataset(opt["datasets"]["val"])
+    val_ds = PairedImageDataset(opt["datasets"][phase])
     predict = make_predict_fn(opt["model_type"], trainer)
     metrics_opt = opt.get("val", {}).get("metrics", {})
-    save_dir = os.path.join(opt["path"]["visualization"], f"iter_{step}") \
+    save_dir = os.path.join(opt["path"]["visualization"],
+                            f"iter_{step}_{phase}") \
         if opt.get("val", {}).get("save_img") else None
     res = validate(predict, val_ds, metrics_opt, save_dir=save_dir,
                    max_images=opt.get("val", {}).get("max_images"))
     msg = ", ".join(f"{k}: {v:.4f}" for k, v in res.items())
-    logger.info(f"validation @ {step}: {msg}")
+    logger.info(f"validation[{phase}] @ {step}: {msg}")
     if tb:
         for k, v in res.items():
-            tb.add_scalar(f"metrics/m_{k}", v, step)
+            tb.add_scalar(f"metrics/m_{k}_{phase}" if phase != "val"
+                          else f"metrics/m_{k}", v, step)
 
 
 if __name__ == "__main__":
