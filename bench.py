@@ -40,17 +40,26 @@ def main():
     )
     from fdn_tip2025_tpu.models.ipredict import ipredict_forward
 
+    # FDN_BENCH_DTYPE=bfloat16 benches the bf16 serving mode (LPNet stays
+    # f32; see inference.FDNPredictor docstring for the accuracy caveat).
+    # Default f32 = the parity mode, the headline number.
+    dtype = jnp.dtype(os.environ.get("FDN_BENCH_DTYPE", "float32"))
+
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     fdn_params = init_fdn(k1)
     lp_params = init_ipredict(k2)
-    x = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32))
+    if dtype != jnp.float32:
+        fdn_params = jax.tree.map(
+            lambda a: a.astype(dtype)
+            if a.dtype == jnp.float32 else a, fdn_params)
+    x = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32), dtype)
 
     @jax.jit
     def fwd(fp, lp, x):
-        ratio = ipredict_forward(lp, x)
-        return fdn_forward(fp, x, ratio)[0]
+        ratio = ipredict_forward(lp, x.astype(jnp.float32))
+        return fdn_forward(fp, x, ratio.astype(x.dtype))[0]
 
     out = fwd(fdn_params, lp_params, x)
     out.block_until_ready()

@@ -75,11 +75,19 @@ def _fdn_forward(params, inp_img, ratio_i, variant):
     amp2 = _amp_prior(_ln(params["norm2"], mar_h))
     amp3 = _amp_prior(_ln(params["norm3"], mar_q))
 
+    # Mixed-precision serving: when the FDformer weights are sub-f32
+    # (bf16 mode), cast its inputs at this boundary so the prior/MAR
+    # stages can run in f32 like the reference's .float() discipline
+    # (inputs and params must agree for convs).
+    pdt = params["net_p"]["patch_embed"]["proj"]["weight"].dtype
+    cast = (lambda t: t.astype(pdt)) if pdt != inp_img.dtype \
+        else (lambda t: t)
+
     out = fdformer_forward(
-        params["net_p"], inp_img, ori_img=inp_img,
-        x_high1=amp1, x_high2=amp2, x_high3=amp3,
-        x_high12=ph1, x_high22=ph2, x_high32=ph3,
-        x1=mar_f, x2=mar_h, x3=mar_q)
+        params["net_p"], cast(inp_img), ori_img=cast(inp_img),
+        x_high1=cast(amp1), x_high2=cast(amp2), x_high3=cast(amp3),
+        x_high12=cast(ph1), x_high22=cast(ph2), x_high32=cast(ph3),
+        x1=cast(mar_f), x2=cast(mar_h), x3=cast(mar_q))
     return out, mar_f, mar_h, mar_q
 
 

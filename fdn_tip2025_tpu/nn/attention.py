@@ -22,8 +22,7 @@ import jax.numpy as jnp
 
 from fdn_tip2025_tpu.ops import (
     conv2d, init_conv2d, layer_norm_2d, init_layer_norm,
-    patchify8, unpatchify8, rfft2_patch8_flat, irfft2_patch8_flat,
-    replace_denormals,
+    patchify8, unpatchify8, rfft2_patch8, irfft2_patch8, replace_denormals,
 )
 from fdn_tip2025_tpu.ops.fourier import amp_phase_ri, polar_ri
 
@@ -84,18 +83,17 @@ def fdsa(params, x):
         return conv2d(out, params["project_out"]["weight"],
                       params["project_out"].get("bias"))
 
-    # one patchify for the q|k|v channel block, then per-tensor DFTs whose
-    # outputs are PACKED (..., 40*E) planes: all the spectral algebra below
-    # runs on full 128-lane tiles instead of E-padded (8,5,E) layouts (3.4x
-    # measured on the FDFFN chain — see ops.fourier.rfft2_patch8_flat).
-    b, hh, ww, _ = x.shape
-    patches = patchify8(hidden[..., : 3 * expand]).reshape(-1, 64,
-                                                           3 * expand)
-    qr, qi = rfft2_patch8_flat(patches[..., :expand])
-    kr, ki = rfft2_patch8_flat(patches[..., expand:2 * expand])
-    vr, vi = rfft2_patch8_flat(patches[..., 2 * expand:])
+    # one patchify + one DFT over the q|k|v channel block (3 transposes
+    # and 3 DFT launches fused into 1+1). NOTE: a packed-lane variant
+    # ((N, 40E) planes) was built and measured 145x SLOWER in situ — the
+    # lane slices/flat reshapes break XLA's transpose-into-matmul fusion
+    # (OPTIMIZATIONS.md round-2 "lane packing" entry).
+    fr, fi = rfft2_patch8(patchify8(hidden[..., : 3 * expand]))
+    qr, qi = fr[..., :expand], fi[..., :expand]
+    kr, ki = fr[..., expand:2 * expand], fi[..., expand:2 * expand]
+    vr, vi = fr[..., 2 * expand:], fi[..., 2 * expand:]
 
-    fft_p = params["fft"].reshape(40 * expand)
+    fft_p = params["fft"]
     vr, vi = vr * fft_p, vi * fft_p
     vr, vi = replace_denormals((vr, vi))
 
@@ -121,19 +119,10 @@ def fdsa(params, x):
     s2 = qka / v_a
     s3 = qka * inv_qknorm
 
-    # one inverse DFT + one unpatchify for all three outputs: regroup the
-    # packed planes back to (.., 40, E) and concat on channels
-    def grp(p):
-        return p.reshape(-1, 40, expand)
-
-    cat_r = jnp.concatenate(
-        [grp(s1 * qck_r), grp(s2 * vr), grp(s3 * qck_r)], axis=-1)
-    cat_i = jnp.concatenate(
-        [grp(s1 * qck_i), grp(s2 * vi), grp(s3 * qck_i)], axis=-1)
-    mod_r = cat_r.reshape(-1, 40 * 3 * expand)
-    mod_i = cat_i.reshape(-1, 40 * 3 * expand)
-    outs = unpatchify8(irfft2_patch8_flat(mod_r, mod_i).reshape(
-        b, hh // 8, ww // 8, 8, 8, 3 * expand))
+    # one inverse DFT + one unpatchify for all three outputs
+    cat_r = jnp.concatenate([s1 * qck_r, s2 * vr, s3 * qck_r], axis=-1)
+    cat_i = jnp.concatenate([s1 * qck_i, s2 * vi, s3 * qck_i], axis=-1)
+    outs = unpatchify8(irfft2_patch8(cat_r, cat_i))
 
     out1 = _ln(params["norm1"], outs[..., :expand])
     out2 = _ln(params["norm2"], outs[..., expand:2 * expand])

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from fdn_tip2025_tpu.ops import (
     conv2d, init_conv2d, layer_norm_2d, init_layer_norm,
-    patchify8, unpatchify8, rfft2_patch8_flat, irfft2_patch8_flat,
+    patchify8, unpatchify8, rfft2_patch8, irfft2_patch8,
     replace_denormals, rfft2, irfft2, gelu,
 )
 from fdn_tip2025_tpu.ops.fourier import amp_phase_ri, polar_ri, amp_phase, polar
@@ -59,17 +59,14 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
         out = out.reshape(b, hh // 8, ww // 8, 8, 8, ch)
         x = unpatchify8(out) + x1
     else:
-        # packed-lane spectral rotation (see rfft2_patch8_flat rationale)
-        pr, pi = rfft2_patch8_flat(patchify8(x).reshape(-1, 64, hidden))
+        # NOTE: a packed-lane variant of this chain won 3.4x in isolation
+        # but LOST in situ (flat reshapes break the patchify->matmul
+        # fusion) — OPTIMIZATIONS.md round-2 "lane packing" entry.
+        pr, pi = rfft2_patch8(patchify8(x))
         pr, pi = replace_denormals((pr, pi))
-        crf = cr.reshape(40 * hidden)
-        srf = sr.reshape(40 * hidden)
-        rr = pr * crf + pi * srf
-        ii = pi * crf - pr * srf
-        b, hh, ww, _ = x.shape
-        out = irfft2_patch8_flat(rr, ii).reshape(
-            b, hh // 8, ww // 8, 8, 8, hidden)
-        x = unpatchify8(out) + x1
+        rr = pr * cr + pi * sr
+        ii = pi * cr - pr * sr
+        x = unpatchify8(irfft2_patch8(rr, ii)) + x1
 
     g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
                padding=1, groups=hidden)

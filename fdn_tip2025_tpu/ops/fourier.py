@@ -303,18 +303,20 @@ def rfft2_patch8_flat(x):
     """Patch rfft2 returning PACKED half-spectrum planes.
 
     Input (..., 64, C) patches -> (re, im), each (..., 40*C) with row-major
-    (freq, channel) packing. Rationale (measured on v5e, OPTIMIZATIONS.md
-    "lane packing"): the (..., 8, 5, C) layout puts C on the 128-lane axis
-    (C=38/86 at dim 32 pads 3.4x/1.5x) and 5 on the 8-sublane axis (1.6x),
-    so every elementwise pass of the FDSA/FDFFN spectral algebra wastes up
-    to 5.4x of HBM bandwidth; the flat (..., 40C) layout is fully packed
-    and XLA fuses the reshape into the DFT matmul epilogue (3.4x measured
-    on the FDFFN chain). Values are IDENTICAL to rfft2_patch8 modulo
+    (freq, channel) packing, fully utilizing the 128-lane axis for the
+    spectral elementwise algebra. Measured on v5e (OPTIMIZATIONS.md round-2
+    "lane packing"): 3.4x faster than the (..., 8, 5, C) layout when the
+    chain is ISOLATED, but slower in situ inside FDSA/FDFFN — the flat
+    reshape breaks XLA's patchify-transpose-into-matmul fusion (145x
+    pathological in FDSA). Kept for standalone/packed callers; the model
+    blocks use rfft2_patch8. Values are IDENTICAL to rfft2_patch8 modulo
     reshape.
     """
     W, _ = _dft_combined(str(x.dtype))
     *b, _, c = x.shape
-    f = jnp.einsum("fk,...kc->...fc", W, x).reshape(*b, 80 * c)
+    f = jnp.einsum("fk,...kc->...fc", W, x,
+                   precision=_patch_dft_precision(x.dtype))
+    f = f.reshape(*b, 80 * c)
     return f[..., :40 * c], f[..., 40 * c:]
 
 
@@ -326,7 +328,8 @@ def irfft2_patch8_flat(re, im):
     *b, fc = re.shape
     c = fc // 40
     mod = jnp.concatenate([re, im], axis=-1).reshape(*b, 80, c)
-    return jnp.einsum("kf,...fc->...kc", A, mod)
+    return jnp.einsum("kf,...fc->...kc", A, mod,
+                      precision=_patch_dft_precision(re.dtype))
 
 
 def patchify8(x):
@@ -347,6 +350,22 @@ def unpatchify8(x):
     return x.reshape(b, hb * p1, wb * p2, c)
 
 
+def _patch_dft_precision(dtype):
+    """Matmul precision for the 8x8 patch DFTs.
+
+    f32 inputs default to HIGHEST: on TPU the einsum otherwise runs with
+    bf16 operand rounding (DEFAULT), which silently degrades the parity
+    mode (seen in device profiles as bf16 staging copies). bf16 serving
+    keeps DEFAULT. FDN_PATCH_DFT_FAST=1 forces DEFAULT in f32 too (speed
+    over parity).
+    """
+    if dtype not in (jnp.float32, jnp.float64):
+        return None
+    if _os.environ.get("FDN_PATCH_DFT_FAST") == "1":
+        return None
+    return _HIGHEST
+
+
 def rfft2_patch8(x):
     """rfft2 of each 8x8 patch via DFT matmuls.
 
@@ -363,7 +382,8 @@ def rfft2_patch8(x):
     b = x.shape[:-3]
     c = x.shape[-1]
     flat = x.reshape(*b, 64, c)
-    out = jnp.einsum("fk,...kc->...fc", W, flat)
+    out = jnp.einsum("fk,...kc->...fc", W, flat,
+                     precision=_patch_dft_precision(x.dtype))
     xr = out[..., :40, :].reshape(*b, 8, 5, c)
     xi = out[..., 40:, :].reshape(*b, 8, 5, c)
     return xr, xi
@@ -397,5 +417,6 @@ def irfft2_patch8(xr, xi):
     c = xr.shape[-1]
     flat = jnp.concatenate([xr.reshape(*b, 40, c),
                             xi.reshape(*b, 40, c)], axis=-2)
-    out = jnp.einsum("kf,...fc->...kc", A, flat)
+    out = jnp.einsum("kf,...fc->...kc", A, flat,
+                     precision=_patch_dft_precision(xr.dtype))
     return out.reshape(*b, 8, 8, c)

@@ -16,8 +16,15 @@ def grayscale(x):
 
 
 def gamma_brighten(x, m, scale=40.0):
-    """MAR brightening curve x' = 1 - (1-x)^(m*scale) (FDN_arch.py:282-284)."""
-    return 1.0 - jnp.power(jnp.maximum(1.0 - x, 0.0), m * scale)
+    """MAR brightening curve x' = 1 - (1-x)^(m*scale) (FDN_arch.py:282-284).
+
+    Always computed in f32: pow(1-x, 40m) amplifies exponent quantization
+    (bf16 eps on m shifts the exponent by 40*eps), so bf16 here destroys
+    brightness accuracy (measured in the round-2 bf16 validation)."""
+    xf = x.astype(jnp.float32)
+    mf = m.astype(jnp.float32)
+    out = 1.0 - jnp.power(jnp.maximum(1.0 - xf, 0.0), mf * scale)
+    return out.astype(x.dtype)
 
 
 def pad_to_multiple(x, multiple, mode="reflect"):

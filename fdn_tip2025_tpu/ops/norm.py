@@ -16,12 +16,16 @@ def layer_norm_2d(x, weight, bias=None, eps=1e-5):
     bias=None  -> BiasFree variant (no mean subtraction, FDN_arch.py:296-310).
     bias given -> WithBias variant (FDN_arch.py:313-329).
     """
+    # statistics accumulate in f32 even for bf16 activations (the
+    # mean/var cancellation loses too much in 8-bit mantissas)
+    xs = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
     if bias is None:
-        var = jnp.var(x, axis=-1, keepdims=True)
+        var = jnp.var(xs, axis=-1, keepdims=True).astype(x.dtype)
         return x / jnp.sqrt(var + eps) * weight
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) / jnp.sqrt(var + eps) * weight + bias
+    mu = jnp.mean(xs, axis=-1, keepdims=True)
+    var = jnp.var(xs, axis=-1, keepdims=True)
+    inv = (1.0 / jnp.sqrt(var + eps)).astype(x.dtype)
+    return (x - mu.astype(x.dtype)) * inv * weight + bias
 
 
 def init_layer_norm(dim, bias=True, dtype=jnp.float32):
