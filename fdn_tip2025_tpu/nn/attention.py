@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 
 from fdn_tip2025_tpu.ops import (
-    conv2d, init_conv2d, layer_norm_2d, init_layer_norm,
-    patchify8, unpatchify8, rfft2_patch8, irfft2_patch8, replace_denormals,
+    conv2d, init_conv2d, layer_norm_2d, layer_norm_cm, init_layer_norm,
+    patchify8, unpatchify8, replace_denormals,
+    from_patches_cm, irfft2_patch8_cm, param_cm,
 )
 from fdn_tip2025_tpu.ops.fourier import amp_phase_ri, polar_ri
 
@@ -54,12 +55,11 @@ def fdsa(params, x):
     expand = expand4 // INNER
     hidden = conv2d(x, params["to_hidden"]["weight"],
                     params["to_hidden"].get("bias"))
-    hidden = conv2d(hidden, params["to_hidden_dw"]["weight"],
-                    params["to_hidden_dw"].get("bias"),
-                    padding=1, groups=expand4)
-    v_value = hidden[..., 3 * expand:]
-
     if os.environ.get("FDN_PALLAS") == "1":
+        hidden = conv2d(hidden, params["to_hidden_dw"]["weight"],
+                        params["to_hidden_dw"].get("bias"),
+                        padding=1, groups=expand4)
+        v_value = hidden[..., 3 * expand:]
         q = hidden[..., :expand]
         k = hidden[..., expand:2 * expand]
         v = hidden[..., 2 * expand:3 * expand]
@@ -83,17 +83,52 @@ def fdsa(params, x):
         return conv2d(out, params["project_out"]["weight"],
                       params["project_out"].get("bias"))
 
-    # one patchify + one DFT over the q|k|v channel block (3 transposes
-    # and 3 DFT launches fused into 1+1). NOTE: a packed-lane variant
-    # ((N, 40E) planes) was built and measured 145x SLOWER in situ — the
-    # lane slices/flat reshapes break XLA's transpose-into-matmul fusion
-    # (OPTIMIZATIONS.md round-2 "lane packing" entry).
-    fr, fi = rfft2_patch8(patchify8(hidden[..., : 3 * expand]))
-    qr, qi = fr[..., :expand], fi[..., :expand]
-    kr, ki = fr[..., expand:2 * expand], fi[..., expand:2 * expand]
-    vr, vi = fr[..., 2 * expand:], fi[..., 2 * expand:]
+    # Channel-major spectral core. The spectral algebra runs on dense
+    # (C, 40|64, Npatch) planes: 40/64 sublanes tile exactly, N fills the
+    # lanes, q/k/v splits are free major-axis views, and the DFT matmuls
+    # and elementwise chain share one {2,1,0} layout. The previous NHWC
+    # (..., 8, 5, 38) spectra tile-padded 5.4x and spent most of FDSA in
+    # layout copies/lane slices; measured on v5e at 1120x640 this path is
+    # 31.2 -> 23.2 ms isolated, +9% on the full forward (OPTIMIZATIONS.md
+    # round-2 "channel-major spectral core").
+    #
+    # Entry into the layout costs no explicit big transpose:
+    #   * q|k|v and v_value get SEPARATE depthwise convs (exact split: the
+    #     dwconv is per-channel, so slicing its kernel == slicing its
+    #     output) so each patchify feeds exactly one einsum and XLA fuses
+    #     the patch gather into the matmul;
+    #   * the DFT einsum emits (..., 80, C) and ONE spectra-sized
+    #     transpose lands channel-major;
+    #   * v_value rides an identity matmul (the MXU does the relayout).
+    from fdn_tip2025_tpu.ops.fourier import (
+        _dft_combined, _patch_dft_precision)
+    import numpy as _np
+    dwk = params["to_hidden_dw"]["weight"]
+    dwb = params["to_hidden_dw"].get("bias")
+    c3 = 3 * expand
+    h_qkv = conv2d(hidden[..., :c3], dwk[..., :c3],
+                   None if dwb is None else dwb[:c3],
+                   padding=1, groups=c3)
+    h_vv = conv2d(hidden[..., c3:], dwk[..., c3:],
+                  None if dwb is None else dwb[c3:],
+                  padding=1, groups=expand)
+    b, hh, ww, _ = h_qkv.shape
+    n_p = b * (hh // 8) * (ww // 8)
+    prec = _patch_dft_precision(h_qkv.dtype)
+    Wc, _ = _dft_combined(str(h_qkv.dtype))
+    eye = jnp.asarray(_np.eye(64, dtype=_np.float32), h_qkv.dtype)
+    flat = patchify8(h_qkv).reshape(b, hh // 8, ww // 8, 64, c3)
+    f = jnp.einsum("fk,bijkc->bijfc", Wc, flat, precision=prec)
+    t = f.transpose(4, 3, 0, 1, 2).reshape(c3, 80, n_p)
+    fr, fi = t[:, :40], t[:, 40:]
+    vflat = patchify8(h_vv).reshape(b, hh // 8, ww // 8, 64, expand)
+    vv = jnp.einsum("fk,bijkc->bijfc", eye, vflat, precision=prec)
+    v_value_p = vv.transpose(4, 3, 0, 1, 2).reshape(expand, 64, n_p)
+    qr, qi = fr[:expand], fi[:expand]
+    kr, ki = fr[expand:2 * expand], fi[expand:2 * expand]
+    vr, vi = fr[2 * expand:], fi[2 * expand:]
 
-    fft_p = params["fft"]
+    fft_p = param_cm(params["fft"])          # (E, 40, 1)
     vr, vi = vr * fft_p, vi * fft_p
     vr, vi = replace_denormals((vr, vi))
 
@@ -119,16 +154,26 @@ def fdsa(params, x):
     s2 = qka / v_a
     s3 = qka * inv_qknorm
 
-    # one inverse DFT + one unpatchify for all three outputs
-    cat_r = jnp.concatenate([s1 * qck_r, s2 * vr, s3 * qck_r], axis=-1)
-    cat_i = jnp.concatenate([s1 * qck_i, s2 * vi, s3 * qck_i], axis=-1)
-    outs = unpatchify8(irfft2_patch8(cat_r, cat_i))
+    # one inverse DFT for all three outputs (major-axis concat is dense)
+    cat_r = jnp.concatenate([s1 * qck_r, s2 * vr, s3 * qck_r], axis=0)
+    cat_i = jnp.concatenate([s1 * qck_i, s2 * vi, s3 * qck_i], axis=0)
+    outs = irfft2_patch8_cm(cat_r, cat_i)    # (3E, 64, N)
 
-    out1 = _ln(params["norm1"], outs[..., :expand])
-    out2 = _ln(params["norm2"], outs[..., expand:2 * expand])
-    out3 = _ln(params["norm3"], outs[..., 2 * expand:])
+    n1, n2, n3 = (params["norm1"]["body"], params["norm2"]["body"],
+                  params["norm3"]["body"])
+    out = jnp.concatenate([
+        v_value_p * layer_norm_cm(outs[:expand], n1["weight"], n1["bias"]),
+        v_value_p * layer_norm_cm(outs[expand:2 * expand], n2["weight"],
+                                  n2["bias"]),
+        v_value_p * layer_norm_cm(outs[2 * expand:], n3["weight"],
+                                  n3["bias"]),
+    ], axis=0)                               # (3E, 64, N)
 
-    out = jnp.concatenate(
-        [v_value * out1, v_value * out2, v_value * out3], axis=-1)
-    return conv2d(out, params["project_out"]["weight"],
-                  params["project_out"].get("bias"))
+    proj = jnp.einsum("co,ck...->ok...",
+                      params["project_out"]["weight"][0, 0],
+                      out,                   # (dim, 64, N)
+                      precision=prec)
+    pb = params["project_out"].get("bias")
+    if pb is not None:
+        proj = proj + pb.reshape((-1,) + (1,) * (proj.ndim - 1))
+    return from_patches_cm(proj, b, hh, ww)

@@ -59,13 +59,17 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
         out = out.reshape(b, hh // 8, ww // 8, 8, 8, ch)
         x = unpatchify8(out) + x1
     else:
-        # NOTE: a packed-lane variant of this chain won 3.4x in isolation
-        # but LOST in situ (flat reshapes break the patchify->matmul
-        # fusion) — OPTIMIZATIONS.md round-2 "lane packing" entry.
+        # NHWC spectra here, deliberately: a channel-major round trip (the
+        # FDSA treatment) was measured 4% SLOWER on the full forward —
+        # FDFFN's (..., 8, 5, 86) planes pad only 2.4x and its modulate
+        # chain is short, so two transposes cost more than they save
+        # (OPTIMIZATIONS.md round-2 ablation).
         pr, pi = rfft2_patch8(patchify8(x))
         pr, pi = replace_denormals((pr, pi))
-        rr = pr * cr + pi * sr
-        ii = pi * cr - pr * sr
+        crn = cr[None, None, None]
+        srn = sr[None, None, None]
+        rr = pr * crn + pi * srn
+        ii = pi * crn - pr * srn
         x = unpatchify8(irfft2_patch8(rr, ii)) + x1
 
     g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),

@@ -12,6 +12,12 @@ from fdn_tip2025_tpu.ops.fourier import (
     irfft2_patch8,
     rfft2_patch8_flat,
     irfft2_patch8_flat,
+    to_patches_cm,
+    to_patches_cm_nchw,
+    from_patches_cm,
+    rfft2_patch8_cm,
+    irfft2_patch8_cm,
+    param_cm,
 )
 from fdn_tip2025_tpu.ops.conv import (
     conv2d,
@@ -23,6 +29,7 @@ from fdn_tip2025_tpu.ops.conv import (
 )
 from fdn_tip2025_tpu.ops.norm import (
     layer_norm_2d,
+    layer_norm_cm,
     batch_norm_inference,
     init_layer_norm,
 )

@@ -11,6 +11,7 @@ the reference's initialization distribution (torch nn/modules/conv.py).
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -19,11 +20,30 @@ from jax import lax
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1):
+def _conv_precision(dtype):
+    """Conv operand precision policy (same as ops.precision's DFT policy):
+    f32 inputs run the f32-exact bf16x6 dot algorithm — TPU convs
+    otherwise silently round operands to a single bf16 pass (DEFAULT),
+    which broke the f32 parity-mode claim — while bf16 serving keeps
+    DEFAULT. FDN_CONV_FAST=1 opts f32 back into DEFAULT (speed over
+    parity)."""
+    if dtype not in (jnp.float32, jnp.float64):
+        return None
+    if os.environ.get("FDN_CONV_FAST") == "1":
+        return None
+    from fdn_tip2025_tpu.ops.precision import f32_dot_alg
+    return f32_dot_alg()
+
+
+def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
+           out_layout="NHWC"):
     """2-D conv matching torch.nn.Conv2d(stride, padding, dilation, groups).
 
     x: (B, H, W, Cin); w: (kh, kw, Cin // groups, Cout).
     `padding` is an int or (ph, pw) of symmetric zero padding.
+    out_layout="NCHW" makes the conv WRITE channel-major output directly —
+    the relayout rides the conv's output store instead of a separate
+    transpose copy (used by the channel-major spectral pipeline).
     """
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -37,12 +57,13 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1):
         window_strides=stride,
         padding=pad,
         rhs_dilation=dilation,
-        dimension_numbers=_DN,
+        dimension_numbers=("NHWC", "HWIO", out_layout),
         feature_group_count=groups,
         preferred_element_type=x.dtype,
+        precision=_conv_precision(x.dtype),
     )
     if b is not None:
-        y = y + b
+        y = y + (b.reshape(-1, 1, 1) if out_layout == "NCHW" else b)
     return y
 
 
@@ -66,6 +87,7 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, kernel_size=None):
         lhs_dilation=stride,
         dimension_numbers=_DN,
         preferred_element_type=x.dtype,
+        precision=_conv_precision(x.dtype),
     )
     if b is not None:
         y = y + b
@@ -74,7 +96,7 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, kernel_size=None):
 
 def linear(x, w, b=None):
     """torch.nn.Linear; w: (in, out)."""
-    y = jnp.matmul(x, w)
+    y = jnp.matmul(x, w, precision=_conv_precision(x.dtype))
     if b is not None:
         y = y + b
     return y

@@ -30,7 +30,7 @@ _FFT_MODE = _os.environ.get("FDN_FFT_MODE", "matmul")
 
 from jax import lax as _lax
 
-_HIGHEST = _lax.Precision.HIGHEST
+from fdn_tip2025_tpu.ops.precision import dot_precision as _dot_precision
 
 
 @lru_cache(maxsize=None)
@@ -99,8 +99,8 @@ def rfft2(x, axes=(1, 2), fast=None):
     inputs (bf16 inference mode) like the reference's .float() casts.
 
     fast: matmul-DFT precision. Defaults from the input dtype — sub-f32
-    (bf16 serving) uses fast bf16 matmul passes (profiled: the HIGHEST
-    6-pass DFT dominated the forward); f32 keeps HIGHEST (f32-exact).
+    (bf16 serving) uses fast single-pass bf16 matmuls; f32 keeps the
+    f32-exact dot algorithm (ops.precision).
     """
     if fast is None:
         fast = x.dtype not in (jnp.float32, jnp.float64)
@@ -109,7 +109,7 @@ def rfft2(x, axes=(1, 2), fast=None):
     if _FFT_MODE == "matmul" and axes == (1, 2) and x.ndim == 4 \
             and x.dtype == jnp.float32:
         return _rfft2_matmul(
-            x, _lax.Precision.DEFAULT if fast else _HIGHEST)
+            x, None if fast else _dot_precision(x.dtype))
     return jnp.fft.rfft2(x, axes=axes)
 
 
@@ -119,7 +119,7 @@ def irfft2(x, s, axes=(1, 2), fast=False):
             and x.dtype == jnp.complex64:
         return _irfft2_matmul(
             x.real, x.imag, s,
-            _lax.Precision.DEFAULT if fast else _HIGHEST)
+            None if fast else _dot_precision(jnp.float32))
     return jnp.fft.irfft2(x, s=s, axes=axes)
 
 
@@ -332,6 +332,90 @@ def irfft2_patch8_flat(re, im):
                       precision=_patch_dft_precision(re.dtype))
 
 
+# ---------------------------------------------------------------------------
+# Channel-major patch pipeline (the TPU-dense layout for FDSA/FDFFN)
+# ---------------------------------------------------------------------------
+# Device profiles (OPTIMIZATIONS.md round-2) showed the NHWC spectral chain
+# bound by layout, not FLOPs: spectra shaped (..., 8, 5, C) tile-pad to
+# (8, 128) on the two minor dims (5 -> 8 sublanes, C=38 -> 128 lanes: 5.4x
+# physical inflation), channel slices at 38/114 boundaries are lane-copies,
+# and XLA ping-pongs layouts between the DFT matmuls and the elementwise
+# fusions. In channel-major (C, freq|pixel, Npatches) every tensor is dense
+# (40/64 sublanes exact, N in lanes), q/k/v splits are free major-axis
+# views, and one layout serves both the matmuls and the elementwise chain —
+# at the cost of exactly two explicit transposes per block.
+
+
+def to_patches_cm(x):
+    """NHWC -> channel-major 8x8 patches: (B, H, W, C) -> (C, 64, B*hb*wb).
+
+    Element (c, p1*8+p2, (b*hb+i)*wb + j) = x[b, i*8+p1, j*8+p2, c]. The
+    patch grid is merged into ONE minor dim: a 4-D (C, 64, rows, wb)
+    variant was measured SLOWER (32 vs 25 ms isolated FDSA) — XLA scatters
+    layouts across the 4-D planes, while the 3-D form pins every tensor to
+    the dense {2,1,0} layout.
+    """
+    b, h, w, c = x.shape
+    x6 = x.reshape(b, h // 8, 8, w // 8, 8, c)
+    xt = x6.transpose(5, 2, 4, 0, 1, 3)  # (c, p1, p2, b, hb, wb)
+    return xt.reshape(c, 64, b * (h // 8) * (w // 8))
+
+
+def from_patches_cm(y, b, h, w):
+    """Inverse of :func:`to_patches_cm`: (C, 64, B*hb*wb) -> (B, H, W, C)."""
+    c = y.shape[0]
+    y6 = y.reshape(c, 8, 8, b, h // 8, w // 8)
+    x = y6.transpose(3, 4, 1, 5, 2, 0)  # (b, hb, p1, wb, p2, c)
+    return x.reshape(b, h, w, c)
+
+
+def to_patches_cm_nchw(x):
+    """NCHW -> channel-major 8x8 patches: (B, C, H, W) -> (C, 64, B*hb*wb).
+
+    Same element mapping as :func:`to_patches_cm` but from a channel-major
+    image (e.g. a conv with out_layout="NCHW") — the permutation no longer
+    moves the channel axis, which XLA lowers much more cheaply.
+    """
+    b, c, h, w = x.shape
+    x6 = x.reshape(b, c, h // 8, 8, w // 8, 8)
+    xt = x6.transpose(1, 3, 5, 0, 2, 4)  # (c, p1, p2, b, hb, wb)
+    return xt.reshape(c, 64, b * (h // 8) * (w // 8))
+
+
+def rfft2_patch8_cm(x):
+    """Patch rfft2 on channel-major patches.
+
+    Input (C, 64, *grid); output (re, im), each (C, 40, *grid) with the
+    same row-major (8, 5) bin order as :func:`rfft2_patch8`. Identical
+    numerics (same (80, 64) combined-DFT matmul; rows are independent
+    sums).
+    """
+    W, _ = _dft_combined(str(x.dtype))
+    out = jnp.einsum("fk,ck...->cf...", W, x,
+                     precision=_patch_dft_precision(x.dtype))
+    return out[:, :40], out[:, 40:]
+
+
+def irfft2_patch8_cm(re, im):
+    """Inverse of :func:`rfft2_patch8_cm`: (C, 40, *grid) -> (C, 64, *grid).
+
+    Hermitian expansion folded into the (64, 80) map, exactly like
+    :func:`irfft2_patch8` (torch.fft.irfft2 semantics on modulated
+    spectra).
+    """
+    _, A = _dft_combined(str(re.dtype))
+    f = jnp.concatenate([re, im], axis=1)  # (C, 80, *grid), sublane-aligned
+    return jnp.einsum("kf,cf...->ck...", A, f,
+                      precision=_patch_dft_precision(re.dtype))
+
+
+def param_cm(p, ndim=3):
+    """(8, 5, C) patch-FFT parameter -> channel-major broadcast
+    (C, 40, 1, ...) with `ndim - 2` trailing singleton grid dims."""
+    c = p.shape[-1]
+    return p.reshape(40, c).T.reshape((c, 40) + (1,) * (ndim - 2))
+
+
 def patchify8(x):
     """(B, H, W, C) -> (B, H/8, W/8, 8, 8, C) blocks of 8x8 patches.
 
@@ -353,17 +437,17 @@ def unpatchify8(x):
 def _patch_dft_precision(dtype):
     """Matmul precision for the 8x8 patch DFTs.
 
-    f32 inputs default to HIGHEST: on TPU the einsum otherwise runs with
-    bf16 operand rounding (DEFAULT), which silently degrades the parity
-    mode (seen in device profiles as bf16 staging copies). bf16 serving
-    keeps DEFAULT. FDN_PATCH_DFT_FAST=1 forces DEFAULT in f32 too (speed
-    over parity).
+    f32 inputs default to the f32-exact dot algorithm (ops.precision:
+    bf16x6, bit-comparable to Precision.HIGHEST at ~10x its speed): at
+    DEFAULT the einsum runs with single-pass bf16 operand rounding, which
+    silently degrades the parity mode. bf16 serving keeps DEFAULT.
+    FDN_PATCH_DFT_FAST=1 forces DEFAULT in f32 too (speed over parity).
     """
     if dtype not in (jnp.float32, jnp.float64):
         return None
     if _os.environ.get("FDN_PATCH_DFT_FAST") == "1":
         return None
-    return _HIGHEST
+    return _dot_precision(dtype)
 
 
 def rfft2_patch8(x):

@@ -35,6 +35,26 @@ def init_layer_norm(dim, bias=True, dtype=jnp.float32):
     return p
 
 
+def layer_norm_cm(x, weight, bias=None, eps=1e-5):
+    """Channel LayerNorm for channel-MAJOR tensors (C, ...).
+
+    Same semantics as :func:`layer_norm_2d` (biased variance, eps 1e-5,
+    f32 statistics for bf16 activations) with the channel axis leading —
+    used by the dense channel-major spectral pipeline (ops.fourier
+    to_patches_cm and friends).
+    """
+    xs = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    bshape = (-1,) + (1,) * (x.ndim - 1)
+    w = weight.reshape(bshape)
+    if bias is None:
+        var = jnp.var(xs, axis=0, keepdims=True).astype(x.dtype)
+        return x / jnp.sqrt(var + eps) * w
+    mu = jnp.mean(xs, axis=0, keepdims=True)
+    var = jnp.var(xs, axis=0, keepdims=True)
+    inv = (1.0 / jnp.sqrt(var + eps)).astype(x.dtype)
+    return (x - mu.astype(x.dtype)) * inv * w + bias.reshape(bshape)
+
+
 def batch_norm_inference(x, weight, bias, running_mean, running_var, eps=1e-5):
     """torch.nn.BatchNorm2d in eval mode (running statistics)."""
     inv = weight / jnp.sqrt(running_var + eps)

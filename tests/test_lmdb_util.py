@@ -5,6 +5,11 @@ import numpy as np
 import pytest
 
 lmdb = pytest.importorskip("lmdb")
+if not hasattr(lmdb, "open"):
+    # tests/torch_ref.py installs an empty `lmdb` stub so the reference's
+    # basicsr imports succeed; that stub must not count as the real package
+    pytest.skip("lmdb is the torch_ref test stub, not the real package",
+                allow_module_level=True)
 
 import cv2  # noqa: E402
 
