@@ -4,8 +4,20 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol: full FDN forward (LPNet ratio included) at LOL-Blur test
-resolution 1120x640 (already x32-aligned), bfloat16 matmul precision off
-(f32 — parity mode), batch 1, median over timed iters after warmup.
+resolution 1120x640 (already x32-aligned), batch 1, median over timed
+iters after warmup. Default mode: f32 PARITY — truly f32-exact end to
+end (X6 dot algorithm for matmul-DFTs, Precision.HIGHEST convs; round 1
+silently ran bf16-rounded conv/einsum operands). Mode table on v5e
+(OPTIMIZATIONS.md round-2):
+
+    f32 parity (default)               0.366 MP/s
+    f32 fast   (FDN_CONV_FAST=1)       0.468 MP/s  (conv operands bf16,
+                                        the reference's own cudnn-TF32
+                                        class of rounding)
+    bf16 serving (FDN_BENCH_DTYPE=
+                  bfloat16)            0.798 MP/s  (accuracy validation
+                                        needs trained weights — the
+                                        random-weight model is chaotic)
 
 vs_baseline: the reference publishes NO throughput numbers
 (BASELINE.md); the baseline is the PyTorch reference's own

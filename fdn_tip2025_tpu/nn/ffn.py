@@ -11,6 +11,7 @@ import jax.numpy as jnp
 from fdn_tip2025_tpu.ops import (
     conv2d, init_conv2d, layer_norm_2d, init_layer_norm,
     patchify8, unpatchify8, rfft2_patch8, irfft2_patch8,
+    rfft2_patch8_p40, irfft2_patch8_p40,
     replace_denormals, rfft2, irfft2, gelu,
 )
 from fdn_tip2025_tpu.ops.fourier import amp_phase_ri, polar_ri, amp_phase, polar
@@ -61,16 +62,22 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
     else:
         # NHWC spectra here, deliberately: a channel-major round trip (the
         # FDSA treatment) was measured 4% SLOWER on the full forward —
-        # FDFFN's (..., 8, 5, 86) planes pad only 2.4x and its modulate
-        # chain is short, so two transposes cost more than they save
-        # (OPTIMIZATIONS.md round-2 ablation).
-        pr, pi = rfft2_patch8(patchify8(x))
+        # FDFFN's planes pad little and its modulate chain is short, so
+        # two transposes cost more than they save (OPTIMIZATIONS.md
+        # round-2 ablation). Spectra stay as packed (..., 40, C) planes:
+        # tile-aligned slices/concats, no (8, 5, C) relayout, patchify
+        # fused into the DFT matmul (single consumer).
+        b_, hh, ww, ch = x.shape
+        flat = patchify8(x).reshape(b_, hh // 8, ww // 8, 64, ch)
+        pr, pi = rfft2_patch8_p40(flat)
         pr, pi = replace_denormals((pr, pi))
-        crn = cr[None, None, None]
-        srn = sr[None, None, None]
+        crn = cr.reshape(40, ch)
+        srn = sr.reshape(40, ch)
         rr = pr * crn + pi * srn
         ii = pi * crn - pr * srn
-        x = unpatchify8(irfft2_patch8(rr, ii)) + x1
+        out = irfft2_patch8_p40(rr, ii).reshape(
+            b_, hh // 8, ww // 8, 8, 8, ch)
+        x = unpatchify8(out) + x1
 
     g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
                padding=1, groups=hidden)

@@ -11,6 +11,8 @@ from fdn_tip2025_tpu.ops.fourier import (
     rfft2_patch8,
     irfft2_patch8,
     rfft2_patch8_flat,
+    rfft2_patch8_p40,
+    irfft2_patch8_p40,
     irfft2_patch8_flat,
     to_patches_cm,
     to_patches_cm_nchw,

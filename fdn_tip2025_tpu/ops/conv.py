@@ -20,19 +20,93 @@ from jax import lax
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _conv_precision(dtype):
-    """Conv operand precision policy (same as ops.precision's DFT policy):
-    f32 inputs run the f32-exact bf16x6 dot algorithm — TPU convs
-    otherwise silently round operands to a single bf16 pass (DEFAULT),
-    which broke the f32 parity-mode claim — while bf16 serving keeps
-    DEFAULT. FDN_CONV_FAST=1 opts f32 back into DEFAULT (speed over
-    parity)."""
+def _conv_mode(dtype):
+    """Conv operand precision policy: 'x3' | 'highest' | 'fast'.
+
+    Measured (experiments/conv_prec.py, v5e): XLA convolutions IGNORE
+    DotAlgorithmPreset — X6 gives the same ~2e-3 bf16-operand error as
+    DEFAULT on both dense and depthwise convs; only Precision.HIGHEST is
+    f32-exact (1e-7). Full-forward cost of the exact options
+    (1120x640): HIGHEST 0.363 MP/s; manual 3-term bf16 split 'x3'
+    (x_hi*w_hi + x_lo*w_hi + x_hi*w_lo, ~3e-7 rel) 0.26 — XLA's
+    internal 6-pass stencil beats three explicit convs, so 'highest' is
+    the f32 default (parity mode) and 'x3' is kept for the record.
+    'fast' (single bf16 pass, the reference's own cudnn-TF32 class of
+    rounding) reaches 0.468. FDN_CONV_PREC overrides; FDN_CONV_FAST=1
+    is legacy for 'fast'. bf16 serving always uses the DEFAULT pass;
+    CPU is exact at DEFAULT already."""
     if dtype not in (jnp.float32, jnp.float64):
-        return None
+        return "fast"
     if os.environ.get("FDN_CONV_FAST") == "1":
-        return None
-    from fdn_tip2025_tpu.ops.precision import f32_dot_alg
-    return f32_dot_alg()
+        return "fast"
+    if jax.default_backend() != "tpu":
+        return "fast"  # CPU/GPU DEFAULT convs are already f32-exact
+    return os.environ.get("FDN_CONV_PREC", "highest")
+
+
+def _conv_precision(dtype):
+    return lax.Precision.HIGHEST if _conv_mode(dtype) == "highest" else None
+
+
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _conv_x3(conv_fn, x, w):
+    """3-term bf16-split convolution with f32 accumulation (see
+    _conv_mode): conv_fn(x, w) must run a DEFAULT-precision conv with
+    preferred_element_type=float32."""
+    xh, xl = _bf16_split(x)
+    wh, wl = _bf16_split(w)
+    return conv_fn(xh, wh) + conv_fn(xl, wh) + conv_fn(xh, wl)
+
+
+def _conv1x1_einsum(x, w, b):
+    """1x1 conv as a channel einsum: dots DO respect the f32-exact X6
+    algorithm (ops.precision), unlike convolutions — exact AND ~6x
+    cheaper than a HIGHEST conv."""
+    from fdn_tip2025_tpu.ops.precision import dot_precision
+    y = jnp.einsum("bhwc,co->bhwo", x, w[0, 0],
+                   precision=dot_precision(x.dtype))
+    if b is not None:
+        y = y + b
+    return y
+
+
+def _depthwise_stencil(x, w, b, padding, groups):
+    """Depthwise 3x3 (or any kxk) conv as an explicit shift-FMA stencil.
+
+    XLA convolutions round operands to bf16 in every mode except HIGHEST
+    (a 6-pass stencil); the VPU needs no matmul for a per-channel
+    stencil, so a single-pass f32 multiply-add chain is both EXACT and
+    the cheapest formulation. Supports cout == m * groups (torch grouped
+    semantics: output o belongs to group o // m).
+    """
+    kh, kw, _, cout = w.shape
+    m = cout // groups
+    b_, h, wd, cin = x.shape
+    oh = h + 2 * padding[0] - kh + 1
+    ow = wd + 2 * padding[1] - kw + 1
+    xp = jnp.pad(x, ((0, 0), (padding[0], padding[0]),
+                     (padding[1], padding[1]), (0, 0)))
+    out = None
+    for dy in range(kh):
+        for dx in range(kw):
+            t = lax.slice(xp, (0, dy, dx, 0), (b_, dy + oh, dx + ow, cin))
+            if m == 1:
+                term = t * w[dy, dx, 0]
+            else:
+                # (..., cin, 1) * (cin, m) -> (..., cin, m): group-major
+                # channel order after the merge, matching torch
+                term = t[..., None] * w[dy, dx, 0].reshape(cin, m)
+            out = term if out is None else out + term
+    if m != 1:
+        out = out.reshape(b_, oh, ow, cout)
+    if b is not None:
+        out = out + b
+    return out
 
 
 def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
@@ -41,9 +115,14 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
 
     x: (B, H, W, Cin); w: (kh, kw, Cin // groups, Cout).
     `padding` is an int or (ph, pw) of symmetric zero padding.
-    out_layout="NCHW" makes the conv WRITE channel-major output directly —
-    the relayout rides the conv's output store instead of a separate
-    transpose copy (used by the channel-major spectral pipeline).
+    out_layout="NCHW" makes the conv WRITE channel-major output directly.
+
+    f32 precision is governed by _conv_mode (default: 3-term bf16-split,
+    ~1e-5 rel error). FDN_CONV_DISPATCH=1 additionally enables the
+    experimental 1x1-einsum / depthwise-stencil fast paths — measured
+    SLOWER on the full forward (0.274 vs 0.363 MP/s with HIGHEST convs;
+    the stencil materializes its pad and the einsum breaks XLA's conv
+    fusions inside the scanned blocks), kept for re-measurement.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
@@ -51,17 +130,37 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
         padding = (padding, padding)
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    mode = _conv_mode(x.dtype)
+    disp = os.environ.get("FDN_CONV_DISPATCH", "")
+    if mode != "fast" and out_layout == "NHWC" and stride == (1, 1) \
+            and dilation == (1, 1) and disp:
+        kh, kw_ = w.shape[0], w.shape[1]
+        if disp in ("1", "both", "1x1") and kh == 1 and kw_ == 1 \
+                and groups == 1:
+            return _conv1x1_einsum(x, w, b)
+        if disp in ("1", "both", "dw") and groups == x.shape[-1] \
+                and w.shape[2] == 1:
+            return _depthwise_stencil(x, w, b, padding, groups)
     pad = [(padding[0], padding[0]), (padding[1], padding[1])]
-    y = lax.conv_general_dilated(
-        x, w,
-        window_strides=stride,
-        padding=pad,
-        rhs_dilation=dilation,
-        dimension_numbers=("NHWC", "HWIO", out_layout),
-        feature_group_count=groups,
-        preferred_element_type=x.dtype,
-        precision=_conv_precision(x.dtype),
-    )
+
+    def core(xx, ww, prec=None):
+        return lax.conv_general_dilated(
+            xx, ww,
+            window_strides=stride,
+            padding=pad,
+            rhs_dilation=dilation,
+            dimension_numbers=("NHWC", "HWIO", out_layout),
+            feature_group_count=groups,
+            preferred_element_type=x.dtype,
+            precision=prec,
+        )
+
+    if mode == "x3":
+        y = _conv_x3(core, x, w)
+    elif mode == "highest":
+        y = core(x, w, lax.Precision.HIGHEST)
+    else:
+        y = core(x, w)
     if b is not None:
         y = y + (b.reshape(-1, 1, 1) if out_layout == "NCHW" else b)
     return y
@@ -73,30 +172,42 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, kernel_size=None):
     Implemented as an input-dilated conv: out = conv(dilate(x, s), flip(w))
     with per-side padding k-1-p. `w` must already be in equivalent-HWIO,
     spatially flipped form: (kh, kw, Cin, Cout) — see torch_import.
-    Output size: (H-1)*s - 2p + k.
+    Output size: (H-1)*s - 2p + k. Same f32 precision policy as conv2d.
     """
     if isinstance(stride, int):
         stride = (stride, stride)
     kh, kw = w.shape[0], w.shape[1]
     ph = kh - 1 - padding
     pw = kw - 1 - padding
-    y = lax.conv_general_dilated(
-        x, w,
-        window_strides=(1, 1),
-        padding=[(ph, ph), (pw, pw)],
-        lhs_dilation=stride,
-        dimension_numbers=_DN,
-        preferred_element_type=x.dtype,
-        precision=_conv_precision(x.dtype),
-    )
+
+    def core(xx, ww, prec=None):
+        return lax.conv_general_dilated(
+            xx, ww,
+            window_strides=(1, 1),
+            padding=[(ph, ph), (pw, pw)],
+            lhs_dilation=stride,
+            dimension_numbers=_DN,
+            preferred_element_type=x.dtype,
+            precision=prec,
+        )
+
+    mode = _conv_mode(x.dtype)
+    if mode == "x3":
+        y = _conv_x3(core, x, w)
+    elif mode == "highest":
+        y = core(x, w, lax.Precision.HIGHEST)
+    else:
+        y = core(x, w)
     if b is not None:
         y = y + b
     return y
 
 
 def linear(x, w, b=None):
-    """torch.nn.Linear; w: (in, out)."""
-    y = jnp.matmul(x, w, precision=_conv_precision(x.dtype))
+    """torch.nn.Linear; w: (in, out) — a dot, so the X6 algorithm
+    applies (ops.precision), unlike convolutions."""
+    from fdn_tip2025_tpu.ops.precision import dot_precision
+    y = jnp.matmul(x, w, precision=dot_precision(x.dtype))
     if b is not None:
         y = y + b
     return y

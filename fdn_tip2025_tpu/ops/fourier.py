@@ -416,6 +416,32 @@ def param_cm(p, ndim=3):
     return p.reshape(40, c).T.reshape((c, 40) + (1,) * (ndim - 2))
 
 
+def rfft2_patch8_p40(x):
+    """Patch rfft2 on NHWC patches, spectra kept as packed 40-bin planes.
+
+    Input (..., 64, C) flattened patches; output (re, im), each
+    (..., 40, C) — row-major (8, 5) bin order, same numerics as
+    :func:`rfft2_patch8` WITHOUT the (8, 5, C) reshape: (..., 8, 5, C)
+    tile-pads its two minor dims (5->8 sublanes, C->128 lanes) and XLA
+    inserts relayout copies around the (..., 80, C) matmul output,
+    while the 40-row slice of (..., 80, C) is tile-aligned and free.
+    """
+    W, _ = _dft_combined(str(x.dtype))
+    out = jnp.einsum("fk,...kc->...fc", W, x,
+                     precision=_patch_dft_precision(x.dtype))
+    return out[..., :40, :], out[..., 40:, :]
+
+
+def irfft2_patch8_p40(re, im):
+    """Inverse of :func:`rfft2_patch8_p40`: (..., 40, C) re/im ->
+    (..., 64, C) pixels, hermitian expansion folded (irfft2 semantics on
+    modulated spectra). Sublane-aligned concat, one matmul."""
+    _, A = _dft_combined(str(re.dtype))
+    f = jnp.concatenate([re, im], axis=-2)
+    return jnp.einsum("kf,...fc->...kc", A, f,
+                      precision=_patch_dft_precision(re.dtype))
+
+
 def patchify8(x):
     """(B, H, W, C) -> (B, H/8, W/8, 8, 8, C) blocks of 8x8 patches.
 
