@@ -159,6 +159,14 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
         y = _conv_x3(core, x, w)
     elif mode == "highest":
         y = core(x, w, lax.Precision.HIGHEST)
+    elif mode == "high":
+        y = core(x, w, lax.Precision.HIGH)
+    elif mode == "mixed":
+        # depthwise at HIGH is already f32-exact (1.05e-7 measured — the
+        # 3-pass bf16 split loses only the x_lo*w_lo term over 9 taps);
+        # dense convs need HIGHEST for exactness (HIGH: 1.1e-5)
+        dw = groups == x.shape[-1] and w.shape[2] == 1
+        y = core(x, w, lax.Precision.HIGH if dw else lax.Precision.HIGHEST)
     else:
         y = core(x, w)
     if b is not None:
@@ -194,8 +202,10 @@ def conv_transpose2d(x, w, b=None, stride=2, padding=1, kernel_size=None):
     mode = _conv_mode(x.dtype)
     if mode == "x3":
         y = _conv_x3(core, x, w)
-    elif mode == "highest":
-        y = core(x, w, lax.Precision.HIGHEST)
+    elif mode in ("highest", "mixed"):
+        y = core(x, w, lax.Precision.HIGHEST)  # transpose convs are dense
+    elif mode == "high":
+        y = core(x, w, lax.Precision.HIGH)
     else:
         y = core(x, w)
     if b is not None:
