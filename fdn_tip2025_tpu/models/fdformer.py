@@ -80,6 +80,15 @@ def _run_blocks(params, state, att, use_light, use_scan=None):
                               use_light=use_light)[0]
         return x, None
 
+    # Rematerialize each block in the backward pass: without this,
+    # lax.scan saves every block's wide intermediates (4.8x-dim spectra)
+    # for ALL iterations — the reference training recipe (batch 16,
+    # 128x128 crops) needs 122 GB of activations on a 15.75 GB chip.
+    # One block's recompute (~1/44 of the forward) buys 6-10x activation
+    # memory. No effect on inference-only jits. FDN_REMAT=0 opts out.
+    if os.environ.get("FDN_REMAT") != "0":
+        body = jax.checkpoint(body)
+
     x, _ = jax.lax.scan(body, x, stacked)
     return x, x_high, x_p, x_img
 

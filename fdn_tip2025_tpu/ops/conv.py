@@ -41,7 +41,7 @@ def _conv_mode(dtype):
         return "fast"
     if jax.default_backend() != "tpu":
         return "fast"  # CPU/GPU DEFAULT convs are already f32-exact
-    return os.environ.get("FDN_CONV_PREC", "highest")
+    return os.environ.get("FDN_CONV_PREC", "mixed")
 
 
 def _conv_precision(dtype):
