@@ -66,17 +66,23 @@ def main():
         from fdn_tip2025_tpu.nn.ffn import (
             init_fdffn, fdffn, init_fcaffn, fcaffn,
         )
+        def cast(p):
+            if dt == jnp.float32:
+                return p
+            return jax.tree.map(lambda a: a.astype(dt)
+                                if a.dtype == jnp.float32 else a, p)
+
         x = jnp.asarray(rng.random((B, H, W, D)), dt)
         if args.what == "fdsa":
-            params = init_fdsa(key, D)
+            params = cast(init_fdsa(key, D))
             fn = jax.jit(fdsa)
             fargs = (params, x)
         elif args.what == "fdffn":
-            params = init_fdffn(key, D)
+            params = cast(init_fdffn(key, D))
             fn = jax.jit(fdffn)
             fargs = (params, x)
         else:
-            params = init_fcaffn(key, D)
+            params = cast(init_fcaffn(key, D))
             wf = W // 2 + 1
             xh = jnp.asarray(rng.random((B, H, wf, 3)), dt)
             xp = jnp.asarray(rng.random((B, H, wf, 3)), dt)
