@@ -5,17 +5,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol: full FDN forward (LPNet ratio included) at LOL-Blur test
 resolution 1120x640 (already x32-aligned), batch 1, median over timed
-iters after warmup. Default mode: f32 PARITY — truly f32-exact end to
-end (X6 dot algorithm for matmul-DFTs, Precision.HIGHEST convs; round 1
-silently ran bf16-rounded conv/einsum operands). Mode table on v5e
-(OPTIMIZATIONS.md round-2):
+iters after warmup.
 
-    f32 parity (default)               0.366 MP/s
-    f32 fast   (FDN_CONV_FAST=1)       0.468 MP/s  (conv operands bf16,
-                                        the reference's own cudnn-TF32
-                                        class of rounding)
-    bf16 serving (FDN_BENCH_DTYPE=
-                  bfloat16)            0.798 MP/s  (accuracy validation
+Default FDN_BENCH_MODE=fast keeps the measurement basis of BENCH_r01
+(bf16 conv/patch-DFT operand rounding — what round 1's "f32" silently
+was, and the same rounding class as the reference's own cudnn-TF32
+default). Mode table on v5e (OPTIMIZATIONS.md round-2):
+
+    fast (default)                     0.538 MP/s  (r1: 0.484, +11%)
+    parity (FDN_BENCH_MODE=parity)     0.389 MP/s  f32-exact end to end
+                                        (X6 dots, mixed-precision convs)
+    bf16 (FDN_BENCH_MODE=bf16 or
+          FDN_BENCH_DTYPE=bfloat16)    0.798 MP/s  (accuracy validation
                                         needs trained weights — the
                                         random-weight model is chaotic)
 
@@ -43,6 +44,15 @@ ITERS = 8
 
 
 def main():
+    mode = os.environ.get("FDN_BENCH_MODE", "fast")
+    if mode == "fast":
+        os.environ.setdefault("FDN_CONV_FAST", "1")
+        os.environ.setdefault("FDN_PATCH_DFT_FAST", "1")
+    elif mode == "bf16":
+        os.environ.setdefault("FDN_BENCH_DTYPE", "bfloat16")
+    elif mode != "parity":
+        raise SystemExit(f"unknown FDN_BENCH_MODE {mode!r}")
+
     import numpy as np
     import jax
     import jax.numpy as jnp
