@@ -23,7 +23,7 @@ _DN = ("NHWC", "HWIO", "NHWC")
 def _conv_mode(dtype):
     """Conv operand precision policy: 'x3' | 'highest' | 'fast'.
 
-    Measured (experiments/conv_prec.py, v5e): XLA convolutions IGNORE
+    Measured (benchmarks/conv_prec.py, v5e): XLA convolutions IGNORE
     DotAlgorithmPreset — X6 gives the same ~2e-3 bf16-operand error as
     DEFAULT on both dense and depthwise convs; only Precision.HIGHEST is
     f32-exact (1e-7). Full-forward cost of the exact options
