@@ -122,7 +122,10 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
     phase (xp2), and the MAR-brightened image (x_img)."""
     h, w = x.shape[1], x.shape[2]
     hidden = params["project_in"]["weight"].shape[-1]
-    if use_light:
+    if use_light and os.environ.get("FDN_FCAFFN_CM", "1") == "1" \
+            and x.dtype == jnp.float32:
+        x = _fcaffn_spectral_cm(params, x, x_high, xp2)
+    elif use_light:
         x1 = x
         f = rfft2(x)
         f = replace_denormals(f)
@@ -169,3 +172,64 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
     x = gelu(g1) * g2
     return conv2d(x, params["project_out"]["weight"],
                   params["project_out"].get("bias"))
+
+
+def _fcaffn_spectral_cm(params, x, x_high, xp2):
+    """FCAFFN's full-image spectral segment in channel-major (C, B, H, W).
+
+    The NHWC spectra (B, H, Wf, 32) tile-pad their 32 lanes 4x and XLA
+    relayouts around every DFT matmul; channel-major keeps H/W in the
+    minor dims (dense) for the DFT einsums AND the modulate chain, the
+    prior 1x1 convs (3 -> C) emit channel-major directly as einsums,
+    and the LayerNorm gate runs over the leading axis. One transpose in,
+    one out. f32 only (the bf16 path keeps the packed-lane NHWC form).
+    """
+    from fdn_tip2025_tpu.ops.fourier import _dft1d
+    from fdn_tip2025_tpu.ops.precision import dot_precision
+    from fdn_tip2025_tpu.ops import layer_norm_cm
+    b, h, w, ch = x.shape
+    wf = w // 2 + 1
+    prec = dot_precision(x.dtype)
+    xc = jnp.transpose(x, (3, 0, 1, 2))           # (C, B, H, W)
+    cw, sw = _dft1d(w, wf)
+    chm, shm = _dft1d(h)
+    tr = jnp.einsum("cbhw,wf->cbhf", xc, cw, precision=prec)
+    ti = jnp.einsum("cbhw,wf->cbhf", xc, sw, precision=prec)
+    fr = jnp.einsum("hu,cbhf->cbuf", chm, tr, precision=prec) - \
+        jnp.einsum("hu,cbhf->cbuf", shm, ti, precision=prec)
+    fi = jnp.einsum("hu,cbhf->cbuf", chm, ti, precision=prec) + \
+        jnp.einsum("hu,cbhf->cbuf", shm, tr, precision=prec)
+    fr, fi = replace_denormals((fr, fi))
+    # prior convs (1x1, 3 -> C) as einsums emitting channel-major
+    cmod = jnp.einsum("bhfi,io->obhf", xp2,
+                      params["conv1_xp"]["weight"][0, 0], precision=prec)
+    cb = params["conv1_xp"].get("bias")
+    if cb is not None:
+        cmod = cmod + cb[:, None, None, None]
+    amod = jnp.einsum("bhfi,io->obhf", x_high,
+                      params["conv1_xa"]["weight"][0, 0], precision=prec)
+    ab = params["conv1_xa"].get("bias")
+    if ab is not None:
+        amod = amod + ab[:, None, None, None]
+    cos_c, sin_c = jnp.cos(cmod), jnp.sin(cmod)
+    out_r = amod * (fr * cos_c + fi * sin_c)
+    out_i = amod * (fi * cos_c - fr * sin_c)
+    # hermitian expansion along the W-freq (lane) axis
+    if w - wf > 0:
+        rev_r = jnp.roll(jnp.flip(out_r, axis=2), 1, axis=2)
+        rev_i = jnp.roll(jnp.flip(out_i, axis=2), 1, axis=2)
+        cols = list(range(w - wf, 0, -1))
+        fr2 = jnp.concatenate([out_r, rev_r[:, :, :, cols]], axis=3)
+        fi2 = jnp.concatenate([out_i, -rev_i[:, :, :, cols]], axis=3)
+    else:
+        fr2, fi2 = out_r, out_i
+    cwf, swf = _dft1d(w)
+    t2r = jnp.einsum("cbuv,vw->cbuw", fr2, cwf, precision=prec) + \
+        jnp.einsum("cbuv,vw->cbuw", fi2, swf, precision=prec)
+    t2i = jnp.einsum("cbuv,vw->cbuw", fi2, cwf, precision=prec) - \
+        jnp.einsum("cbuv,vw->cbuw", fr2, swf, precision=prec)
+    inv = (jnp.einsum("uh,cbuw->cbhw", chm, t2r, precision=prec) +
+           jnp.einsum("uh,cbuw->cbhw", shm, t2i, precision=prec)) / (h * w)
+    nb = params["norm"]["body"]
+    gated = layer_norm_cm(inv, nb["weight"], nb["bias"]) * xc + xc
+    return jnp.transpose(gated, (1, 2, 3, 0))     # back to NHWC
