@@ -162,11 +162,12 @@ def fdsa(params, x):
     n1, n2, n3 = (params["norm1"]["body"], params["norm2"]["body"],
                   params["norm3"]["body"])
     out = jnp.concatenate([
-        v_value_p * layer_norm_cm(outs[:expand], n1["weight"], n1["bias"]),
+        v_value_p * layer_norm_cm(outs[:expand], n1["weight"],
+                                  n1.get("bias")),
         v_value_p * layer_norm_cm(outs[expand:2 * expand], n2["weight"],
-                                  n2["bias"]),
+                                  n2.get("bias")),
         v_value_p * layer_norm_cm(outs[2 * expand:], n3["weight"],
-                                  n3["bias"]),
+                                  n3.get("bias")),
     ], axis=0)                               # (3E, 64, N)
 
     proj = jnp.einsum("co,ck...->ok...",

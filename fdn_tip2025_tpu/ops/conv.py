@@ -41,11 +41,12 @@ def _conv_mode(dtype):
         return "fast"
     if jax.default_backend() != "tpu":
         return "fast"  # CPU/GPU DEFAULT convs are already f32-exact
-    return os.environ.get("FDN_CONV_PREC", "mixed")
-
-
-def _conv_precision(dtype):
-    return lax.Precision.HIGHEST if _conv_mode(dtype) == "highest" else None
+    mode = os.environ.get("FDN_CONV_PREC", "mixed")
+    if mode not in ("x3", "highest", "high", "mixed", "fast"):
+        raise ValueError(
+            f"FDN_CONV_PREC={mode!r}: expected one of "
+            "x3/highest/high/mixed/fast")
+    return mode
 
 
 def _bf16_split(a):
@@ -136,7 +137,7 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
             and dilation == (1, 1) and disp:
         kh, kw_ = w.shape[0], w.shape[1]
         if disp in ("1", "both", "1x1") and kh == 1 and kw_ == 1 \
-                and groups == 1:
+                and groups == 1 and padding == (0, 0):
             return _conv1x1_einsum(x, w, b)
         if disp in ("1", "both", "dw") and groups == x.shape[-1] \
                 and w.shape[2] == 1:

@@ -42,7 +42,10 @@ def f32_dot_alg():
 
 def dot_precision(dtype):
     """Policy keyed on activation dtype: f32 -> f32-exact algorithm,
+    f64 -> HIGHEST (the bf16x6 preset only recovers f32 accuracy),
     sub-f32 (bf16 serving) -> DEFAULT single pass."""
-    if dtype in (jnp.float32, jnp.float64):
+    if dtype == jnp.float64:
+        return lax.Precision.HIGHEST
+    if dtype == jnp.float32:
         return f32_dot_alg()
     return None

@@ -3,10 +3,9 @@
 The reference's validation forwards differ per model wrapper
 (image_restoration_model.py test() :564-711, _ipretrain :1161-1168,
 _ipred :1949-1957): this module builds an image->image (or image->scalar)
-closure over the live trainer params, with the pad-to-x32 protocol.
+closure over the live trainer params, with the pad-to-x32 protocol and
+optional val.grids overlapped tiling (:261-339, :737-743).
 """
-
-from functools import lru_cache
 
 import numpy as np
 
@@ -18,12 +17,35 @@ from fdn_tip2025_tpu.models import (
 )
 from fdn_tip2025_tpu.models.ipredict import ipredict_forward
 from fdn_tip2025_tpu.ops import pad_to_multiple, unpad, grayscale
-from fdn_tip2025_tpu.train.engine import compute_ratio
 
 
-def make_predict_fn(model_type, trainer):
+def grid_sizes(val_opt, h, w):
+    """Tile size from config: crop_size_h/w or crop_size_h/w_ratio
+    (image_restoration_model.py:263-273)."""
+    if "crop_size_h" in val_opt:
+        crop_h = int(val_opt["crop_size_h"])
+    else:
+        crop_h = int(float(val_opt["crop_size_h_ratio"]) * h)
+    if "crop_size_w" in val_opt:
+        crop_w = int(val_opt["crop_size_w"])
+    else:
+        crop_w = int(float(val_opt["crop_size_w_ratio"]) * w)
+    return min(crop_h, h), min(crop_w, w)
+
+
+def make_predict_fn(model_type, trainer, val_opt=None, fdn_params=None):
+    """Build the per-family validation forward.
+
+    val_opt: the config's val section — consumes grids/crop_size_h/w
+    (_ratio)/max_minibatch for tiled validation.
+    fdn_params: frozen full-FDN params for the LPNet (_ipred) protocol —
+    the reference's model_fft (image_restoration_model.py:1488-1499),
+    loaded from config instead of a hardcoded path.
+    """
     params = trainer.params
     use_ratio = trainer.use_ratio
+    val_opt = val_opt or {}
+    use_grids = bool(val_opt.get("grids"))
 
     cache = {}
 
@@ -36,24 +58,44 @@ def make_predict_fn(model_type, trainer):
         variant = getattr(trainer, "variant", "fdn")
         fwd = fdn_forward if variant == "fdn" else fdn_lolv1_forward
 
-        def predict(lq, gt=None):
-            x = jnp.asarray(lq, jnp.float32)[None]
+        def f(p, x, r):
+            return fwd(p, x, r)[0]
+
+        def full_ratio(x, gt):
             # reference validation ratio protocol: mean(gray lq) /
             # mean(gray gt) (image_restoration_model.py:649-658), computed
-            # on the UNpadded images (feed_data_ir runs before test()'s
-            # reflect pad). Falls back to mean(gray lq) when no GT exists
-            # (SingleImageDataset inference path).
+            # on the UNpadded full images (feed_data_ir runs before both
+            # the reflect pad and grids). Falls back to mean(gray lq)
+            # when no GT exists (SingleImageDataset inference path).
             ratio = jnp.mean(grayscale(x), axis=(1, 2, 3))[:, None]
             if use_ratio and gt is not None:
                 g = jnp.asarray(gt, jnp.float32)[None]
                 ratio = ratio / jnp.mean(grayscale(g), axis=(1, 2, 3))[:, None]
-            x, hw = pad_to_multiple(x, 32)
+            return ratio
 
-            def f(p, x, r):
-                return fwd(p, x, r)[0]
+        def predict(lq, gt=None):
+            x = jnp.asarray(lq, jnp.float32)[None]
+            ratio = full_ratio(x, gt)
+            if not use_grids:
+                x, hw = pad_to_multiple(x, 32)
+                out = jit_for(x.shape, f)(params, x, ratio)
+                return np.asarray(unpad(out, hw))[0]
 
-            out = jit_for(x.shape, f)(params, x, ratio)
-            return np.asarray(unpad(out, hw))[0]
+            # val.grids tiled validation (grids/grids_inverse,
+            # image_restoration_model.py:261-339): overlapped tiles
+            # restored with the FULL-image ratio, count-avg stitched.
+            from fdn_tip2025_tpu.parallel.spatial import tiled_restore
+            lq_np = np.asarray(lq, np.float32)
+            crop_h, crop_w = grid_sizes(val_opt, *lq_np.shape[:2])
+
+            def tile_fwd(tiles):
+                t, hw = pad_to_multiple(tiles, 32)
+                r = jnp.broadcast_to(ratio, (t.shape[0], 1))
+                out = jit_for(t.shape, f)(params, t, r)
+                return unpad(out, hw)
+
+            return tiled_restore(tile_fwd, lq_np, crop_h, crop_w,
+                                 batch_size=val_opt.get("max_minibatch"))
 
         return predict
 
@@ -76,19 +118,55 @@ def make_predict_fn(model_type, trainer):
         return predict
 
     if model_type == "ImageRestorationModel_ipred":
+        if fdn_params is None:
+            raise ValueError(
+                "LPNet image validation needs frozen FDN weights "
+                "(config path.pretrain_network_fft) — the reference "
+                "validates _ipred by restoring through a frozen full FDN "
+                "with ratio = mean(gray lq)/pred "
+                "(image_restoration_model.py:1488-1499,1949-1957). "
+                "Without them, validate ratio error via "
+                "lpnet_ratio_validation instead.")
+
         def predict(lq, gt=None):
             x = jnp.asarray(lq, jnp.float32)[None]
 
-            def f(p, x):
-                return ipredict_forward(p, x)
+            def fp(lp, fp_, x):
+                pred = ipredict_forward(lp, x)
+                gray = jnp.mean(grayscale(x), axis=(1, 2, 3))[:, None]
+                return pred, gray / pred
 
-            pred = jit_for(x.shape, f)(params, x)
-            # broadcast the scalar ratio into an image so the generic
-            # metric loop can consume it; LPNet validation quality is
-            # tracked as |pred - mean(gray gt)| via the l_pix log instead.
-            return np.full_like(np.asarray(lq),
-                                float(np.asarray(pred)[0, 0]))
+            pred, ratio = jit_for(x.shape, fp)(params, fdn_params, x)
+            xp, hw = pad_to_multiple(x, 32)
+
+            def f(p, x, r):
+                return fdn_forward(p, x, r)[0]
+
+            out = jit_for(xp.shape, f)(fdn_params, xp, ratio)
+            return np.asarray(unpad(out, hw))[0]
 
         return predict
 
     raise KeyError(model_type)
+
+
+def lpnet_ratio_validation(trainer, dataset, max_images=None):
+    """LPNet validation without a frozen FDN: mean |pred - mean(gray gt)|
+    over the val set (the quantity the _ipred training loss targets,
+    image_restoration_model.py:1793-1799)."""
+    params = trainer.params
+    cache = {}
+    total, n = 0.0, 0
+    for idx in range(len(dataset)):
+        if max_images is not None and idx >= max_images:
+            break
+        sample = dataset[idx]
+        x = jnp.asarray(sample["lq"], jnp.float32)[None]
+        if x.shape not in cache:
+            cache[x.shape] = jax.jit(ipredict_forward)
+        pred = float(np.asarray(cache[x.shape](params, x))[0, 0])
+        target = float(np.mean(np.asarray(
+            grayscale(jnp.asarray(sample["gt"], jnp.float32)[None]))))
+        total += abs(pred - target)
+        n += 1
+    return {"ratio_l1": total / max(n, 1)}

@@ -46,6 +46,9 @@ def test_fdn_overfits_fixed_batch(rng):
              "gt": rng.random((1, 32, 32, 3), dtype=np.float32)}
     losses = [float(tr.train_step(batch)["l_total"]) for _ in range(40)]
     assert min(losses[-5:]) < losses[0] * 0.7, losses[::5]
+    # trend check (ADVICE r1): keep sensitivity to slow-convergence
+    # regressions that the min-over-tail criterion alone would miss
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.8, losses[::5]
 
 
 @pytest.mark.slow

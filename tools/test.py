@@ -53,12 +53,37 @@ def main():
             "FDN_lolv1" else "lolblur"
         pred = FDNPredictor(variant=variant, fdn_ckpt=args.ckpt,
                             lpnet_ckpt=args.lpnet_ckpt)
+        val_opt = opt.get("val", {}) or {}
+        use_grids = bool(val_opt.get("grids"))
+
+        def _restore(lq, ratio):
+            """Full-image or val.grids tiled restore (ratio computed on
+            the FULL image either way — grids runs after feed_data_ir in
+            the reference, image_restoration_model.py:737-743)."""
+            if not use_grids:
+                return pred.restore(lq, ratio=ratio)
+            from fdn_tip2025_tpu.parallel.spatial import tiled_restore
+            from fdn_tip2025_tpu.train.infer_adapters import grid_sizes
+            crop_h, crop_w = grid_sizes(val_opt, *lq.shape[:2])
+
+            def tile_fwd(tiles):
+                t = np.asarray(tiles)
+                return pred.restore(
+                    t, ratio=np.full((t.shape[0], 1), ratio, np.float32))
+
+            return tiled_restore(tile_fwd, np.asarray(lq, np.float32),
+                                 crop_h, crop_w,
+                                 batch_size=val_opt.get("max_minibatch"))
 
         if args.lpnet_ckpt:
             # inference protocol: LPNet-predicted ratio
             # (inference_fdn_lolblur.py:65-71 / lolv1:58-64)
             def predict(lq, gt=None):
-                return pred.restore(lq)
+                r = float(pred.predict_ratio(lq)[0, 0])
+                if variant == "lolv1":
+                    r = float(np.mean(np.asarray(
+                        grayscale(jnp.asarray(lq)[None])))) / r
+                return _restore(lq, r)
         else:
             # reference test protocol: ratio = mean(gray lq)/mean(gray gt)
             # (image_restoration_model.py:649-658). Never evaluate with a
@@ -70,7 +95,7 @@ def main():
                         "--lpnet-ckpt for the LPNet-ratio protocol")
                 r = (np.mean(np.asarray(grayscale(jnp.asarray(lq)[None])))
                      / np.mean(np.asarray(grayscale(jnp.asarray(gt)[None]))))
-                return pred.restore(lq, ratio=r)
+                return _restore(lq, r)
     elif model_type == "ImageRestorationModel_ipretrain":
         import numpy as np
         import jax.numpy as jnp

@@ -219,11 +219,46 @@ def _load_ckpt(path, template_kind, strict=True, trainer=None):
 def _run_val(opt, trainer, logger, tb, step, phase="val"):
     from fdn_tip2025_tpu.data.paired_dataset import PairedImageDataset
     from fdn_tip2025_tpu.train.validation import validate
-    from fdn_tip2025_tpu.train.infer_adapters import make_predict_fn
+    from fdn_tip2025_tpu.train.infer_adapters import (
+        make_predict_fn, lpnet_ratio_validation,
+    )
 
+    val_opt = opt.get("val", {}) or {}
     val_ds = PairedImageDataset(opt["datasets"][phase])
-    predict = make_predict_fn(opt["model_type"], trainer)
-    metrics_opt = opt.get("val", {}).get("metrics", {})
+
+    if opt["model_type"] == "ImageRestorationModel_ipred":
+        # reference _ipred validation restores through a frozen full FDN
+        # (model_fft, image_restoration_model.py:1488-1499,1949-1957) —
+        # config path.pretrain_network_fft replaces its hardcoded path.
+        fft_path = (opt.get("path", {}) or {}).get("pretrain_network_fft")
+        if not fft_path:
+            res = lpnet_ratio_validation(trainer, val_ds,
+                                         max_images=val_opt.get(
+                                             "max_images"))
+            logger.info(
+                f"validation[{phase}] @ {step}: ratio_l1 "
+                f"{res['ratio_l1']:.4f} (no path.pretrain_network_fft — "
+                "restored-image metrics skipped)")
+            if tb:
+                tb.add_scalar(f"metrics/m_ratio_l1_{phase}",
+                              res["ratio_l1"], step)
+            return
+        if not hasattr(trainer, "_fdn_val_params"):
+            import jax
+            from fdn_tip2025_tpu.models import init_fdn
+            from fdn_tip2025_tpu.checkpoint import load_model_from_pth
+            from fdn_tip2025_tpu.checkpoint.manager import load_network
+            trainer._fdn_val_params = (
+                load_model_from_pth(fft_path,
+                                    init_fdn(jax.random.PRNGKey(0)))
+                if fft_path.endswith(".pth") else load_network(fft_path))
+        predict = make_predict_fn(opt["model_type"], trainer,
+                                  val_opt=val_opt,
+                                  fdn_params=trainer._fdn_val_params)
+    else:
+        predict = make_predict_fn(opt["model_type"], trainer,
+                                  val_opt=val_opt)
+    metrics_opt = val_opt.get("metrics", {})
     save_dir = os.path.join(opt["path"]["visualization"],
                             f"iter_{step}_{phase}") \
         if opt.get("val", {}).get("save_img") else None
