@@ -39,15 +39,12 @@ def synth_pair(rng, size, blur=True):
     Smooth scene from upsampled noise; lq = gamma-darkened (+ box blur
     + sensor noise) — the LOL-Blur degradation class, content-free.
     """
-    coarse = rng.random((size // 8 + 2, size // 8 + 2, 3))
-    # bilinear upsample x8 via np (no jax: keep data gen backend-free)
-    idx = np.linspace(0, coarse.shape[0] - 1.001, size)
-    i0 = idx.astype(int)
-    f = (idx - i0)[:, None]
-    rows = coarse[i0] * (1 - f[..., None]) + coarse[i0 + 1] * f[..., None]
-    cols = rows[:, i0] * (1 - f[None, :, 0][..., None, None]) \
-        + rows[:, i0 + 1] * f[None, :, 0][..., None, None]
-    gt = (0.05 + 0.9 * cols).astype(np.float32)
+    import cv2
+
+    coarse = rng.random((size // 8 + 2, size // 8 + 2, 3)).astype(
+        np.float32)
+    smooth = cv2.resize(coarse, (size, size), interpolation=cv2.INTER_CUBIC)
+    gt = np.clip(0.05 + 0.9 * smooth, 0.0, 1.0).astype(np.float32)
     lq = 0.3 * gt ** 2.2
     if blur:
         k = np.ones((3, 3), np.float32) / 9.0
