@@ -132,6 +132,16 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
     mode = _conv_mode(x.dtype)
+    # XLA's CPU grouped-conv path is ~80x slower than an explicit
+    # shift-FMA stencil (measured 6.7 vs 0.08 ms at 32x32x64) — use the
+    # stencil for depthwise convs on non-TPU backends. Exact numerics
+    # (single-pass f32 FMA chain). FDN_CPU_DW_STENCIL=0 opts out.
+    if jax.default_backend() != "tpu" and groups > 1 \
+            and groups == x.shape[-1] and w.shape[2] == 1 \
+            and stride == (1, 1) and dilation == (1, 1) \
+            and out_layout == "NHWC" \
+            and os.environ.get("FDN_CPU_DW_STENCIL") != "0":
+        return _depthwise_stencil(x, w, b, padding, groups)
     disp = os.environ.get("FDN_CONV_DISPATCH", "")
     if mode != "fast" and out_layout == "NHWC" and stride == (1, 1) \
             and dilation == (1, 1) and disp:
