@@ -45,12 +45,12 @@ class FDNPredictor:
         bf16 shifts its ratio ~1%, which the gamma exponent amplifies
         40x), the gamma pow, and LayerNorm statistics stay f32.
 
-        NOTE accuracy at depth cannot be validated with random weights:
-        the 44-block forward is numerically chaotic (even f32-TPU vs
-        f32-CPU outputs diverge to ~9 dB PSNR; the torch reference
-        itself diverges ~1.1 max-abs under 1e-6 input perturbation —
-        tests/test_model_parity.py). Validate bf16 against f32 with
-        trained weights before serving it in production."""
+        bf16 accuracy is VALIDATED with trained weights: 43.5 dB PSNR /
+        SSIM 1.00 vs f32 at 1120x640 (tools/cross_check.py --bf16-size
+        640, benchmarks/artifacts/cross_check_r2.json). Random-weight
+        models remain chaotic (f32-TPU vs f32-CPU ~9 dB; the torch
+        reference itself diverges ~1.1 max-abs under 1e-6 input
+        perturbation) — never validate modes with random weights."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.variant = variant
