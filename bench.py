@@ -7,18 +7,23 @@ Protocol: full FDN forward (LPNet ratio included) at LOL-Blur test
 resolution 1120x640 (already x32-aligned), batch 1, median over timed
 iters after warmup.
 
-Default FDN_BENCH_MODE=fast keeps the measurement basis of BENCH_r01
-(bf16 conv/patch-DFT operand rounding — what round 1's "f32" silently
-was, and the same rounding class as the reference's own cudnn-TF32
-default). Mode table on v5e (OPTIMIZATIONS.md round-2):
+Default FDN_BENCH_MODE=bf16: the production serving mode, accuracy-
+VALIDATED with trained weights in round 2 (43.5 dB PSNR / SSIM 1.00 vs
+f32 at this exact resolution — tools/cross_check.py --bf16-size 640,
+benchmarks/artifacts/cross_check_r2.json). Mode table on v5e
+(OPTIMIZATIONS.md round-3, chained timing; per-call agrees within 4%):
 
-    fast (default)                     0.538 MP/s  (r1: 0.484, +11%)
-    parity (FDN_BENCH_MODE=parity)     0.389 MP/s  f32-exact end to end
+    bf16 (default)                     0.826 MP/s  validated serving mode
+    fast (FDN_BENCH_MODE=fast)         0.557 MP/s  BENCH_r01 basis (bf16
+                                        conv/DFT operand rounding — what
+                                        r1's "f32" silently was; same
+                                        rounding class as the reference's
+                                        cudnn-TF32 default)
+    parity (FDN_BENCH_MODE=parity)     0.399 MP/s  f32-exact end to end
                                         (X6 dots, mixed-precision convs)
-    bf16 (FDN_BENCH_MODE=bf16 or
-          FDN_BENCH_DTYPE=bfloat16)    0.798 MP/s  (accuracy validation
-                                        needs trained weights — the
-                                        random-weight model is chaotic)
+
+Batched serving (r1 regression fixed by the channel-major FDSA): bf16
+batch 2 = 0.738, batch 4 = 0.719 MP/s per image (89%/87% efficiency).
 
 vs_baseline: the reference publishes NO throughput numbers
 (BASELINE.md); the baseline is the PyTorch reference's own
@@ -44,7 +49,7 @@ ITERS = 8
 
 
 def main():
-    mode = os.environ.get("FDN_BENCH_MODE", "fast")
+    mode = os.environ.get("FDN_BENCH_MODE", "bf16")
     if mode == "fast":
         os.environ.setdefault("FDN_CONV_FAST", "1")
         os.environ.setdefault("FDN_PATCH_DFT_FAST", "1")

@@ -89,7 +89,12 @@ def _run_blocks(params, state, att, use_light, use_scan=None):
     if os.environ.get("FDN_REMAT") != "0":
         body = jax.checkpoint(body)
 
-    x, _ = jax.lax.scan(body, x, stacked)
+    # FDN_SCAN_UNROLL=k unrolls k block bodies per loop iteration
+    # (full unroll FDN_UNROLL=1 measured SLOWER — the scanned body
+    # pipelines better; partial unroll trades loop overhead vs weight
+    # staging overlap).
+    unroll = int(os.environ.get("FDN_SCAN_UNROLL", "1"))
+    x, _ = jax.lax.scan(body, x, stacked, unroll=unroll)
     return x, x_high, x_p, x_img
 
 

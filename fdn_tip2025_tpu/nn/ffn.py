@@ -123,7 +123,8 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
     h, w = x.shape[1], x.shape[2]
     hidden = params["project_in"]["weight"].shape[-1]
     if use_light and os.environ.get("FDN_FCAFFN_CM", "1") == "1" \
-            and x.dtype == jnp.float32:
+            and (x.dtype == jnp.float32
+                 or os.environ.get("FDN_FCAFFN_CM_BF16") == "1"):
         x = _fcaffn_spectral_cm(params, x, x_high, xp2)
     elif use_light:
         x1 = x
@@ -193,6 +194,8 @@ def _fcaffn_spectral_cm(params, x, x_high, xp2):
     xc = jnp.transpose(x, (3, 0, 1, 2))           # (C, B, H, W)
     cw, sw = _dft1d(w, wf)
     chm, shm = _dft1d(h)
+    if x.dtype != jnp.float32:  # bf16 serving: DFT factors in bf16 too
+        cw, sw, chm, shm = (m.astype(x.dtype) for m in (cw, sw, chm, shm))
     tr = jnp.einsum("cbhw,wf->cbhf", xc, cw, precision=prec)
     ti = jnp.einsum("cbhw,wf->cbhf", xc, sw, precision=prec)
     fr = jnp.einsum("hu,cbhf->cbuf", chm, tr, precision=prec) - \
@@ -224,6 +227,8 @@ def _fcaffn_spectral_cm(params, x, x_high, xp2):
     else:
         fr2, fi2 = out_r, out_i
     cwf, swf = _dft1d(w)
+    if x.dtype != jnp.float32:
+        cwf, swf = cwf.astype(x.dtype), swf.astype(x.dtype)
     t2r = jnp.einsum("cbuv,vw->cbuw", fr2, cwf, precision=prec) + \
         jnp.einsum("cbuv,vw->cbuw", fi2, swf, precision=prec)
     t2i = jnp.einsum("cbuv,vw->cbuw", fi2, cwf, precision=prec) - \
