@@ -217,22 +217,17 @@ def _fcaffn_spectral_cm(params, x, x_high, xp2):
     cos_c, sin_c = jnp.cos(cmod), jnp.sin(cmod)
     out_r = amod * (fr * cos_c + fi * sin_c)
     out_i = amod * (fi * cos_c - fr * sin_c)
-    # hermitian expansion along the W-freq (lane) axis
-    if w - wf > 0:
-        rev_r = jnp.roll(jnp.flip(out_r, axis=2), 1, axis=2)
-        rev_i = jnp.roll(jnp.flip(out_i, axis=2), 1, axis=2)
-        cols = list(range(w - wf, 0, -1))
-        fr2 = jnp.concatenate([out_r, rev_r[:, :, :, cols]], axis=3)
-        fi2 = jnp.concatenate([out_i, -rev_i[:, :, :, cols]], axis=3)
-    else:
-        fr2, fi2 = out_r, out_i
-    cwf, swf = _dft1d(w)
+    # hermitian expansion folded into the (wf, w) inverse matrix
+    # (ops.fourier._irdft1d_half): halves the big W-inverse matmul and
+    # drops the flip/roll/concat relayouts of the level-1 spectrum.
+    from fdn_tip2025_tpu.ops.fourier import _irdft1d_half
+    cwh, swh = _irdft1d_half(w)
     if x.dtype != jnp.float32:
-        cwf, swf = cwf.astype(x.dtype), swf.astype(x.dtype)
-    t2r = jnp.einsum("cbuv,vw->cbuw", fr2, cwf, precision=prec) + \
-        jnp.einsum("cbuv,vw->cbuw", fi2, swf, precision=prec)
-    t2i = jnp.einsum("cbuv,vw->cbuw", fi2, cwf, precision=prec) - \
-        jnp.einsum("cbuv,vw->cbuw", fr2, swf, precision=prec)
+        cwh, swh = cwh.astype(x.dtype), swh.astype(x.dtype)
+    t2r = jnp.einsum("cbuv,vw->cbuw", out_r, cwh, precision=prec) - \
+        jnp.einsum("cbuv,vw->cbuw", out_i, swh, precision=prec)
+    t2i = jnp.einsum("cbuv,vw->cbuw", out_r, swh, precision=prec) + \
+        jnp.einsum("cbuv,vw->cbuw", out_i, cwh, precision=prec)
     inv = (jnp.einsum("uh,cbuw->cbhw", chm, t2r, precision=prec) +
            jnp.einsum("uh,cbuw->cbhw", shm, t2i, precision=prec)) / (h * w)
     nb = params["norm"]["body"]

@@ -47,6 +47,35 @@ def _dft1d(n, rbins=None):
     return jnp.asarray(c, jnp.float32), jnp.asarray(s, jnp.float32)
 
 
+@lru_cache(maxsize=None)
+def _irdft1d_half_np(n):
+    """(wf, n) inverse-DFT matrices with the hermitian expansion FOLDED in.
+
+    For a half-spectrum F[..., v<wf] whose tail torch.fft.irfft* would
+    reconstruct as X[u, n-v] = conj(X[(H-u)%H, v]), the tail's
+    contribution to the REAL final output equals the interior columns'
+    contribution duplicated (the H-flip is absorbed by the full H-axis
+    inverse sum). So irfft over the last axis is a single (wf, n) matmul
+    with interior bins weighted 2 (bin 0 and the even-n Nyquist bin
+    weighted 1) — half the FLOPs of expanding to (n, n) and, more
+    importantly on TPU, no flip/roll/concat relayouts of the spectrum.
+    Kernel returned as (cos, sin) of the CONJUGATE (inverse) exponent."""
+    wf = n // 2 + 1
+    k = np.arange(wf)
+    j = np.arange(n)
+    ang = 2.0 * np.pi * np.outer(k, j) / n
+    w = np.full((wf, 1), 2.0)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    return w * np.cos(ang), w * np.sin(ang)
+
+
+def _irdft1d_half(n):
+    c, s = _irdft1d_half_np(n)
+    return jnp.asarray(c, jnp.float32), jnp.asarray(s, jnp.float32)
+
+
 def _rfft2_matmul(x, precision):
     """rfft2 over axes (1, 2) via DFT matmuls.
 
@@ -82,30 +111,34 @@ def _irfft2_matmul(xr, xi, s, precision):
     wf = s1 // 2 + 1
     xr = xr[:, :s0, :wf]
     xi = xi[:, :s0, :wf]
-    # hermitian tail: X[u, v] = conj(X[(s0-u) % s0, s1-v]) for v >= wf
-    if s1 - wf > 0:
-        rev_r = jnp.roll(jnp.flip(xr, axis=1), 1, axis=1)
-        rev_i = jnp.roll(jnp.flip(xi, axis=1), 1, axis=1)
-        cols = list(range(s1 - wf, 0, -1))
-        fr = jnp.concatenate([xr, rev_r[:, :, cols]], axis=2)
-        fi = jnp.concatenate([xi, -rev_i[:, :, cols]], axis=2)
-    else:
-        fr, fi = xr, xi
     if _staged_ok(s0) and _staged_ok(s1) \
             and _os.environ.get("FDN_FFT_STAGED") == "1":
+        # staged dead-end path keeps the explicit hermitian expansion:
+        # X[u, v] = conj(X[(s0-u) % s0, s1-v]) for v >= wf
+        if s1 - wf > 0:
+            rev_r = jnp.roll(jnp.flip(xr, axis=1), 1, axis=1)
+            rev_i = jnp.roll(jnp.flip(xi, axis=1), 1, axis=1)
+            cols = list(range(s1 - wf, 0, -1))
+            fr = jnp.concatenate([xr, rev_r[:, :, cols]], axis=2)
+            fi = jnp.concatenate([xi, -rev_i[:, :, cols]], axis=2)
+        else:
+            fr, fi = xr, xi
         # staged: H-axis complex inverse, then W-axis inverse + real part
         # (1/H, 1/W folded into the stage matrices)
         hr, hi = _ct_axis_cdft(fr, fi, s0, 1, precision, inverse=True)
         return _ct_w_inv(hr, hi, s1, precision)
-    cw, sw = _dft1d(s1)   # inverse = conj/N
+    # hermitian expansion folded into a (wf, s1) inverse matrix
+    # (_irdft1d_half): half the W-matmul FLOPs, no flip/roll/concat
+    # relayouts of the 92 MB level-1 spectrum.
+    cwh, swh = _irdft1d_half(s1)
     ch, sh = _dft1d(s0)
-    # x = Re( E_H^T @ F @ E_W ) / (s0*s1), E = conj(DFT) = C - iS -> +S sign
-    tr = jnp.einsum("bhvc,vw->bhwc", fr, cw, precision=precision) + \
-        jnp.einsum("bhvc,vw->bhwc", fi, sw, precision=precision)
-    ti = jnp.einsum("bhvc,vw->bhwc", fi, cw, precision=precision) - \
-        jnp.einsum("bhvc,vw->bhwc", fr, sw, precision=precision)
+    tr = jnp.einsum("bhvc,vw->bhwc", xr, cwh, precision=precision) - \
+        jnp.einsum("bhvc,vw->bhwc", xi, swh, precision=precision)
+    ti = jnp.einsum("bhvc,vw->bhwc", xr, swh, precision=precision) + \
+        jnp.einsum("bhvc,vw->bhwc", xi, cwh, precision=precision)
+    # Re over the full H-axis inverse, E = conj(DFT) = C - iS -> +S sign
     out = jnp.einsum("uh,buwc->bhwc", ch, tr, precision=precision) + \
-        jnp.einsum("uh, buwc->bhwc", sh, ti, precision=precision)
+        jnp.einsum("uh,buwc->bhwc", sh, ti, precision=precision)
     return out / (s0 * s1)
 
 

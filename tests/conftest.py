@@ -23,6 +23,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # Keep matmuls in full f32 on CPU for parity tests.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache (gitignored, unlike the committed dryrun
+# cache at .xla_cache/): repeated suite runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".xla_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
