@@ -41,6 +41,22 @@ class TestFourier:
         got = ops.irfft2(ops.rfft2(jnp.asarray(x)), s=(8, 8))
         assert_close(np.asarray(got), to_nhwc(ref), atol=1e-4)
 
+    @pytest.mark.parametrize("hw", [(16, 24), (16, 25), (15, 24), (15, 25)])
+    def test_irfft2_nonhermitian_spectrum(self, rng, hw):
+        # FCAFFN/FreBlock feed irfft2 MODULATED half-spectra that are not
+        # the rfft of any real signal; torch.fft.irfft2 then imposes
+        # hermitian symmetry implicitly. The folded half-spectrum inverse
+        # (_irdft1d_half) must reproduce that convention exactly for even
+        # and odd H/W (with and without a Nyquist bin).
+        h, w = hw
+        wf = w // 2 + 1
+        re = rand_nhwc(rng, (2, h, wf, 3))
+        im = rand_nhwc(rng, (2, h, wf, 3))
+        spec = re + 1j * im
+        ref = torch.fft.irfft2(to_nchw(spec), s=(h, w), norm="backward")
+        got = ops.irfft2(jnp.asarray(spec), s=(h, w))
+        assert_close(np.asarray(got), to_nhwc(ref), atol=1e-5)
+
     def test_replace_denormals(self):
         vals = np.array([-1e-11, 0.0, 1e-11, 1e-10, -1e-10, 0.5, -0.5],
                         dtype=np.float32)
