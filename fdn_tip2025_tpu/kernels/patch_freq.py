@@ -143,6 +143,157 @@ def _fdsa_kernel(q_ref, k_ref, v_ref, fft_ref, w_ref, a_ref,
     idft(s3 * qck_r, s3 * qck_i, o3_ref)
 
 
+def _fdsa_chain_kernel(q_ref, k_ref, v_ref, fftT_ref, a_ref,
+                       o_ref, *, dtype):
+    """Per-channel fused FDSA spectral chain.
+
+    Grid (E, n_tiles); blocks are single-channel (1, 80|64, NT) planes, so
+    every matmul is a plain 2-D `dot_general` and every elementwise op is
+    2-D — the only forms the tunneled remote compile helper accepts
+    (batched tpu.matmul and sublane-merge reshapes HTTP-500, see
+    OPTIMIZATIONS.md "Lane-major Pallas blocked").
+
+    Inputs are the POST-DFT spectra rows of t = (3E, 80, N) (XLA keeps its
+    efficient patchify-fused forward-DFT einsum); the kernel fuses the
+    whole amp/phase algebra (reference FDN_arch.py:599-630, trig-free
+    identities as in nn/attention.py) plus the three inverse DFTs, writing
+    each (E, 64, N) output once. Chain math runs in f32 registers.
+    """
+    f32 = jnp.float32
+    q = q_ref[0].astype(f32)                  # (80, NT)
+    k = k_ref[0].astype(f32)
+    v = v_ref[0].astype(f32)
+    qr, qi = q[:40], q[40:]
+    kr, ki = k[:40], k[40:]
+    fp = fftT_ref[0, :, 0:1].astype(f32)      # (40, 1) — this channel's row
+    vr = _clamp(v[:40] * fp)
+    vi = _clamp(v[40:] * fp)
+
+    qk_im = _clamp(qr * ki + qi * kr)
+    qk_re = _clamp(qr * kr - qi * ki)
+    qka = jnp.sqrt(qk_re * qk_re + qk_im * qk_im)
+
+    qr, qi = _clamp(qr), _clamp(qi)
+    kr, ki = _clamp(kr), _clamp(ki)
+    v_a = jnp.sqrt(vr * vr + vi * vi)
+    qn = jnp.sqrt(qr * qr + qi * qi)
+    kn = jnp.sqrt(kr * kr + ki * ki)
+    qck_r = qr * kr + qi * ki
+    qck_i = qi * kr - qr * ki
+    inv_qk = 1.0 / (qn * kn)
+    s1 = v_a * inv_qk
+    s2 = qka / v_a
+    s3 = qka * inv_qk
+
+    A = a_ref[:]                              # (64, 80)
+
+    def idft(rr, ii, slot):
+        cat = jnp.concatenate([rr, ii], axis=0).astype(dtype)
+        o_ref[slot, 0] = jax.lax.dot_general(
+            A, cat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+
+    idft(s1 * qck_r, s1 * qck_i, 0)
+    idft(s2 * vr, s2 * vi, 1)
+    idft(s3 * qck_r, s3 * qck_i, 2)
+
+
+def _fdffn_rot_kernel(x_ref, cs_ref, a_ref, o_ref, *, dtype):
+    """Per-channel fused FDFFN spectrum rotation + inverse DFT.
+
+    Same grid/block scheme as _fdsa_chain_kernel. cs_ref carries this
+    channel's cos row (sublanes 0..39) and sin row (40..79).
+    """
+    f32 = jnp.float32
+    f = x_ref[0].astype(f32)                  # (80, NT)
+    pr = _clamp(f[:40])
+    pi = _clamp(f[40:])
+    cs = cs_ref[0, :, 0:1].astype(f32)        # (80, 1)
+    cr, sr = cs[:40], cs[40:]
+    rr = pr * cr + pi * sr
+    ii = pi * cr - pr * sr
+    cat = jnp.concatenate([rr, ii], axis=0).astype(dtype)
+    o_ref[0] = jax.lax.dot_general(
+        a_ref[:], cat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dtype)
+
+
+def fdffn_rot_cm(t, cr40, sr40, tile=1408):
+    """Fused FDFFN rotation on channel-major spectra.
+
+    t: (C, 80, N) half-spectra; cr40/sr40: (40, C) rotation planes
+    (ffta*cos(fftp) / ffta*sin(fftp)). Returns (C, 64, N) =
+    irfft(rotate(clamp(spectra))) matching nn/ffn.py's XLA p40 chain.
+    """
+    c, _, n = t.shape
+    nt = min(tile, ((n + 127) // 128) * 128)
+    grid = (c, pl.cdiv(n, nt))
+    _, A = _mats(t.dtype)
+    cs = jnp.broadcast_to(
+        jnp.concatenate([jnp.asarray(cr40, t.dtype),
+                         jnp.asarray(sr40, t.dtype)], axis=0)
+        .T[:, :, None], (c, 80, 8))
+    return pl.pallas_call(
+        functools.partial(_fdffn_rot_kernel, dtype=t.dtype),
+        out_shape=jax.ShapeDtypeStruct((c, 64, n), t.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 80, nt), lambda ci, i: (ci, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 80, 8), lambda ci, i: (ci, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 80), lambda ci, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 64, nt), lambda ci, i: (ci, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() == "cpu",
+    )(t, cs, A)
+
+
+def fdsa_chain_cm(t, fft40, tile=2816):
+    """Fused FDSA spectral chain on channel-major spectra.
+
+    t: (3E, 80, N) stacked q/k/v half-spectra (re rows 0..39, im 40..79);
+    fft40: (40, E) learnable filter bins (row-major (8,5) order, i.e.
+    params["fft"].reshape(40, E)). Returns outs (3E, 64, N) in the same
+    [out1; out2; out3] row order as the XLA chain's concatenated inverse
+    DFT, so the downstream LN/gate/proj is unchanged (chain math in f32
+    instead of the array dtype; decision-grade equality is the
+    trained-weights cross-PSNR).
+    """
+    c3, eighty, n = t.shape
+    e = c3 // 3
+    nt = min(tile, ((n + 127) // 128) * 128)
+    grid = (e, pl.cdiv(n, nt))
+    _, A = _mats(t.dtype)
+    # per-channel fft rows delivered via BlockSpec (dynamic lane indexing
+    # is not provable for Mosaic): (E, 40, 8) with block (1, 40, 8)
+    fftT = jnp.broadcast_to(
+        jnp.asarray(fft40, t.dtype).T[:, :, None], (e, 40, 8))
+
+    def row(off):
+        return pl.BlockSpec((1, 80, nt), lambda c, i, o=off: (o + c, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_fdsa_chain_kernel, dtype=t.dtype),
+        out_shape=jax.ShapeDtypeStruct((3, e, 64, n), t.dtype),
+        grid=grid,
+        in_specs=[
+            row(0), row(e), row(2 * e),
+            pl.BlockSpec((1, 40, 8), lambda c, i: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 80), lambda c, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, 1, 64, nt), lambda c, i: (0, c, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() == "cpu",
+    )(t, t, t, fftT, A)
+    return out.reshape(c3, 64, n)
+
+
 def fdsa_freq(q, k, v, fft_p, tile=4):
     """q, k, v: (N, 64, E) patches; fft_p: (40, E).
 

@@ -124,6 +124,23 @@ def fdsa(params, x):
     vflat = patchify8(h_vv).reshape(b, hh // 8, ww // 8, 64, expand)
     vv = jnp.einsum("fk,bijkc->bijfc", eye, vflat, precision=prec)
     v_value_p = vv.transpose(4, 3, 0, 1, 2).reshape(expand, 64, n_p)
+
+    if (os.environ.get("FDN_PALLAS_CM") == "1"
+            and h_qkv.dtype == jnp.bfloat16):
+        # Fused Pallas chain: spectra t -> algebra -> 3 inverse DFTs in
+        # one VMEM pass (kernels/patch_freq.fdsa_chain_cm) — replaces the
+        # elementwise-fusion/copy tail between the two DFT matmuls. The
+        # stacked (3E, 64, N) output feeds the same LN/gate/proj tail as
+        # the XLA chain below.
+        from fdn_tip2025_tpu.kernels.patch_freq import fdsa_chain_cm
+        # barrier: stop the pallas operand-layout requirement from
+        # propagating into the conv/patchify entry (measured: without it
+        # XLA re-lays the 1x1/dw convs into T(2,128) tiles, +4 ms/block)
+        t = jax.lax.optimization_barrier(t)
+        outs = fdsa_chain_cm(t, params["fft"].reshape(40, expand))
+        return _fdsa_cm_tail(params, outs, v_value_p, expand, prec,
+                             b, hh, ww)
+
     qr, qi = fr[:expand], fi[:expand]
     kr, ki = fr[expand:2 * expand], fi[expand:2 * expand]
     vr, vi = fr[2 * expand:], fi[2 * expand:]
@@ -158,7 +175,12 @@ def fdsa(params, x):
     cat_r = jnp.concatenate([s1 * qck_r, s2 * vr, s3 * qck_r], axis=0)
     cat_i = jnp.concatenate([s1 * qck_i, s2 * vi, s3 * qck_i], axis=0)
     outs = irfft2_patch8_cm(cat_r, cat_i)    # (3E, 64, N)
+    return _fdsa_cm_tail(params, outs, v_value_p, expand, prec, b, hh, ww)
 
+
+def _fdsa_cm_tail(params, outs, v_value_p, expand, prec, b, hh, ww):
+    """Shared channel-major FDSA tail: per-output LN, v_value gate,
+    1x1 projection, back to NHWC."""
     n1, n2, n3 = (params["norm1"]["body"], params["norm2"]["body"],
                   params["norm3"]["body"])
     out = jnp.concatenate([

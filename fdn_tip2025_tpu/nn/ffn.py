@@ -59,6 +59,28 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
         out = fdffn_freq(patches, cr.reshape(40, ch), sr.reshape(40, ch))
         out = out.reshape(b, hh // 8, ww // 8, 8, 8, ch)
         x = unpatchify8(out) + x1
+    elif (os.environ.get("FDN_PALLAS_CM") == "1"
+            and os.environ.get("FDN_PALLAS_CM_FFN", "1") == "1"
+            and x.dtype == jnp.bfloat16):
+        # Fused Pallas rotation (kernels/patch_freq.fdffn_rot_cm): XLA
+        # keeps its patchify-fused forward-DFT einsum; the kernel fuses
+        # clamp + rotate + inverse DFT in VMEM. Channel-major pays one
+        # spectra transpose in and one from_patches out — worth it only
+        # because the whole mid-chain collapses into the kernel (the
+        # XLA-only CM round trip measured 4% slower, see below).
+        from fdn_tip2025_tpu.ops.fourier import (
+            _dft_combined, _patch_dft_precision)
+        from fdn_tip2025_tpu.ops import from_patches_cm
+        from fdn_tip2025_tpu.kernels.patch_freq import fdffn_rot_cm
+        b_, hh, ww, ch = x.shape
+        n_p = b_ * (hh // 8) * (ww // 8)
+        prec = _patch_dft_precision(x.dtype)
+        Wc, _ = _dft_combined(str(x.dtype))
+        flat = patchify8(x).reshape(b_, hh // 8, ww // 8, 64, ch)
+        f = jnp.einsum("fk,bijkc->bijfc", Wc, flat, precision=prec)
+        t = f.transpose(4, 3, 0, 1, 2).reshape(ch, 80, n_p)
+        out_c = fdffn_rot_cm(t, cr.reshape(40, ch), sr.reshape(40, ch))
+        x = from_patches_cm(out_c, b_, hh, ww) + x1
     else:
         # NHWC spectra here, deliberately: a channel-major round trip (the
         # FDSA treatment) was measured 4% SLOWER on the full forward —
