@@ -141,6 +141,16 @@ def fdsa(params, x):
         return _fdsa_cm_tail(params, outs, v_value_p, expand, prec,
                              b, hh, ww)
 
+    dt = t.dtype
+    if (dt == jnp.bfloat16
+            and os.environ.get("FDN_BF16_PHASE_F32", "1") == "1"):
+        # f32 island for the phase algebra only: the spectra enter and
+        # leave this elementwise segment in bf16 (the DFT matmuls on both
+        # sides stay bf16, HBM bytes unchanged — the converts fuse into
+        # the elementwise kernel), but the sqrt/divide chain that forms
+        # phases runs f32. Near-zero bins amplify bf16's 8-bit mantissa
+        # through 1/(|q||k|); measured accuracy/speed in OPTIMIZATIONS.md.
+        fr, fi = fr.astype(jnp.float32), fi.astype(jnp.float32)
     qr, qi = fr[:expand], fi[:expand]
     kr, ki = fr[expand:2 * expand], fi[expand:2 * expand]
     vr, vi = fr[2 * expand:], fi[2 * expand:]
@@ -174,7 +184,8 @@ def fdsa(params, x):
     # one inverse DFT for all three outputs (major-axis concat is dense)
     cat_r = jnp.concatenate([s1 * qck_r, s2 * vr, s3 * qck_r], axis=0)
     cat_i = jnp.concatenate([s1 * qck_i, s2 * vi, s3 * qck_i], axis=0)
-    outs = irfft2_patch8_cm(cat_r, cat_i)    # (3E, 64, N)
+    outs = irfft2_patch8_cm(cat_r.astype(dt), cat_i.astype(dt))
+    # (3E, 64, N)
     return _fdsa_cm_tail(params, outs, v_value_p, expand, prec, b, hh, ww)
 
 

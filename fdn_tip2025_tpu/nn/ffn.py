@@ -92,12 +92,18 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
         b_, hh, ww, ch = x.shape
         flat = patchify8(x).reshape(b_, hh // 8, ww // 8, 64, ch)
         pr, pi = rfft2_patch8_p40(flat)
+        dt = pr.dtype
+        if (dt == jnp.bfloat16
+                and os.environ.get("FDN_BF16_PHASE_F32", "1") == "1"):
+            # f32 island for the rotation (bf16 in/out of the segment;
+            # the converts fuse, HBM bytes unchanged — see FDSA note)
+            pr, pi = pr.astype(jnp.float32), pi.astype(jnp.float32)
         pr, pi = replace_denormals((pr, pi))
         crn = cr.reshape(40, ch)
         srn = sr.reshape(40, ch)
         rr = pr * crn + pi * srn
         ii = pi * crn - pr * srn
-        out = irfft2_patch8_p40(rr, ii).reshape(
+        out = irfft2_patch8_p40(rr.astype(dt), ii.astype(dt)).reshape(
             b_, hh // 8, ww // 8, 8, 8, ch)
         x = unpatchify8(out) + x1
 

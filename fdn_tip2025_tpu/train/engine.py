@@ -43,24 +43,49 @@ from fdn_tip2025_tpu.parallel.mesh import (
 
 
 def compute_ratio(lq, gt=None, use_ratio=True):
-    """Brightness ratio (B, 1): mean-gray(lq) / mean-gray(gt)."""
-    glq = jnp.mean(grayscale(lq), axis=(1, 2, 3))[:, None]
+    """Brightness ratio (B, 1): mean-gray(lq) / mean-gray(gt).
+
+    Always accumulates in f32 — the ratio feeds the MAR gamma exponent
+    (1-(1-x)^(40m)), which is precision-sensitive (the bf16 serving mode
+    keeps the same policy)."""
+    glq = jnp.mean(grayscale(lq).astype(jnp.float32),
+                   axis=(1, 2, 3))[:, None]
     if not use_ratio or gt is None:
-        return glq
-    ggt = jnp.mean(grayscale(gt), axis=(1, 2, 3))[:, None]
-    return glq / ggt
+        return glq.astype(lq.dtype)
+    ggt = jnp.mean(grayscale(gt).astype(jnp.float32),
+                   axis=(1, 2, 3))[:, None]
+    return (glq / ggt).astype(lq.dtype)
+
+
+def _to_bf16(tree):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, tree)
 
 
 class BaseTrainer:
     """Owns params/opt_state, the jitted step, schedulers, mesh sharding."""
 
     _REQUIRES_VGG = False  # reference objective has an unconditional VGG term
+    # bf16 mixed precision: forward/backward in bf16, f32 master weights +
+    # optimizer state, losses in f32. No loss scaling needed (bf16 shares
+    # f32's exponent range). The reference trains f32-only; this is a
+    # TPU-native extra (train.mixed_precision: true).
+    _AMP_OK = True
 
     def __init__(self, opt, mesh=None, vgg_params=None):
         self.opt = opt
         self.mesh = mesh if mesh is not None else make_mesh()
         self.use_ratio = bool(opt.get("use_ratio", True))
         train_opt = opt["train"]
+        self.amp = bool(train_opt.get("mixed_precision", False))
+        if self.amp and not self._AMP_OK:
+            warnings.warn(
+                f"{type(self).__name__}: mixed_precision requested but this "
+                "model trains a precision-sensitive scalar regressor — "
+                "staying f32 (same policy as bf16 serving, which keeps "
+                "LPNet f32)", stacklevel=2)
+            self.amp = False
         base_lr = float(train_opt["optim_g"]["lr"])
         total_iter = int(train_opt["total_iter"])
         self.total_iter = total_iter
@@ -111,8 +136,15 @@ class BaseTrainer:
 
     # ----------------------------------------------------------------------
     def _train_step(self, trainable, opt_state, frozen, batch):
+        loss_fn = self._loss_fn
+        if self.amp:
+            # cast INSIDE the differentiated fn: grads of the f32->bf16
+            # cast come back f32 onto the master weights automatically
+            def loss_fn(tr, fz, b):
+                return self._loss_fn(_to_bf16(tr), _to_bf16(fz),
+                                     _to_bf16(b))
         (loss, aux), grads = jax.value_and_grad(
-            self._loss_fn, has_aux=True)(trainable, frozen, batch)
+            loss_fn, has_aux=True)(trainable, frozen, batch)
         updates, opt_state = self.tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, aux
@@ -190,6 +222,9 @@ class FDNTrainer(BaseTrainer):
         ratio = compute_ratio(lq, gt, self.use_ratio)
         fwd = fdn_forward if self.variant == "fdn" else fdn_lolv1_forward
         out = fwd(params, lq, ratio)[0]
+        # losses in f32 regardless of the compute dtype (mixed_precision)
+        out = out.astype(jnp.float32)
+        gt = gt.astype(jnp.float32)
         l_pix = self._cri_pix(out, gt)
         l_fft = self._cri_fft(out, gt)
         total = l_pix + l_fft
@@ -215,6 +250,8 @@ class MARTrainer(BaseTrainer):
         lq, gt = batch["lq"], batch["gt"]
         ratio = compute_ratio(lq, gt, self.use_ratio)[..., None, None]
         out_q, out_h, out_f = mar_forward(trainable, lq, ratio)
+        out_q, out_h, out_f, gt = (a.astype(jnp.float32)
+                                   for a in (out_q, out_h, out_f, gt))
         l1 = L.mar_loss(out_f, gt, self.perceptual, scale=1.0)
         l2 = L.mar_loss(out_h, gt, self.perceptual, scale=0.5)
         l3 = L.mar_loss(out_q, gt, self.perceptual, scale=0.25)
@@ -224,6 +261,8 @@ class MARTrainer(BaseTrainer):
 
 class LPNetTrainer(BaseTrainer):
     """model_type: ImageRestorationModel_ipred — ratio regression."""
+
+    _AMP_OK = False  # scalar-ratio regressor stays f32 (serving policy)
 
     def _build_params(self):
         self.trainable = init_ipredict(self.key)

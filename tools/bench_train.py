@@ -32,6 +32,8 @@ def main():
                     choices=["fdn", "mar", "lpnet"])
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 mixed precision (train.mixed_precision)")
     args = ap.parse_args()
 
     import numpy as np
@@ -51,6 +53,7 @@ def main():
             "scheduler": {"type": "TrueCosineAnnealingLR",
                           "T_max": 500000, "eta_min": 1e-7},
             "total_iter": 500000, "warmup_iter": -1,
+            "mixed_precision": bool(args.amp),
         },
     }
     mesh = make_mesh()
@@ -77,7 +80,7 @@ def main():
         "unit": "images/sec",
         "batch": args.batch, "crop": args.crop,
         "step_ms": round(dt * 1e3, 1), "loss": round(loss, 4),
-        "devices": int(mesh.devices.size),
+        "devices": int(mesh.devices.size), "amp": bool(args.amp),
     }))
 
 
