@@ -143,13 +143,12 @@ def fdsa(params, x):
 
     dt = t.dtype
     if (dt == jnp.bfloat16
-            and os.environ.get("FDN_BF16_PHASE_F32", "1") == "1"):
-        # f32 island for the phase algebra only: the spectra enter and
-        # leave this elementwise segment in bf16 (the DFT matmuls on both
-        # sides stay bf16, HBM bytes unchanged — the converts fuse into
-        # the elementwise kernel), but the sqrt/divide chain that forms
-        # phases runs f32. Near-zero bins amplify bf16's 8-bit mantissa
-        # through 1/(|q||k|); measured accuracy/speed in OPTIMIZATIONS.md.
+            and os.environ.get("FDN_BF16_PHASE_F32", "0") == "1"):
+        # Opt-in f32 island for the phase algebra (default OFF, measured:
+        # costs 4% serving throughput — 0.768 vs 0.802 MP/s — while the
+        # bf16 error is dominated by the rounded bf16 spectra themselves,
+        # not the algebra: max-rel 0.0623 vs 0.0621 with the island.
+        # OPTIMIZATIONS.md round-3 "f32 phase-algebra island").
         fr, fi = fr.astype(jnp.float32), fi.astype(jnp.float32)
     qr, qi = fr[:expand], fi[:expand]
     kr, ki = fr[expand:2 * expand], fi[expand:2 * expand]
