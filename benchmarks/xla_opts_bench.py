@@ -30,6 +30,8 @@ CHAIN = 8
 SWEEP = {
     "baseline": {},
     # deeper fusions get more scratch before the fuser bails
+    "vmem8": {"xla_tpu_scoped_vmem_limit_kib": "8192"},
+    "vmem24": {"xla_tpu_scoped_vmem_limit_kib": "24576"},
     "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
     "vmem96": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
     # let the fuser keep going past its default cost cutoffs

@@ -25,6 +25,9 @@ from fdn_tip2025_tpu.models import (
 from fdn_tip2025_tpu.checkpoint import load_model_from_pth
 from fdn_tip2025_tpu.checkpoint.manager import load_network
 from fdn_tip2025_tpu.ops import pad_to_multiple, unpad, grayscale
+from fdn_tip2025_tpu.parallel.mesh import (
+    batch_sharding, replicated, replicate_tree,
+)
 
 
 def _load_params(path, template):
@@ -39,7 +42,7 @@ class FDNPredictor:
     """End-to-end FDN inference: LPNet ratio -> FDN restore."""
 
     def __init__(self, variant="lolblur", fdn_ckpt=None, lpnet_ckpt=None,
-                 key=None, dtype=jnp.float32):
+                 key=None, dtype=jnp.float32, mesh=None):
         """dtype: serving dtype. float32 is the parity mode. bfloat16
         serves MAR+FDformer in bf16 while LPNet (the trained ratio head:
         bf16 shifts its ratio ~1%, which the gamma exponent amplifies
@@ -50,7 +53,15 @@ class FDNPredictor:
         640, benchmarks/artifacts/cross_check_r2.json). Random-weight
         models remain chaotic (f32-TPU vs f32-CPU ~9 dB; the torch
         reference itself diverges ~1.1 max-abs under 1e-6 input
-        perturbation) — never validate modes with random weights."""
+        perturbation) — never validate modes with random weights.
+
+        mesh: optional jax.sharding.Mesh for data-parallel serving —
+        params are replicated, the batch dim is sharded over the mesh's
+        first axis, and batches are zero-padded up to a multiple of the
+        mesh size (padded outputs dropped). Per-image work is fully
+        independent, so DP serving scales linearly over ICI (the
+        multi-GPU analog the reference gets from dist_test.sh's
+        per-rank image sharding, image_restoration_model.py:728-731)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.variant = variant
@@ -68,16 +79,27 @@ class FDNPredictor:
             self.fdn_params = jax.tree.map(
                 lambda a: a.astype(dtype)
                 if a.dtype == jnp.float32 else a, self.fdn_params)
+        self.mesh = mesh
+        if mesh is not None:
+            self.fdn_params = replicate_tree(self.fdn_params, mesh)
+            self.lpnet_params = replicate_tree(self.lpnet_params, mesh)
         self._jit_cache = {}
 
     def _compiled(self, shape, with_ratio):
         key = (shape, with_ratio)
         if key not in self._jit_cache:
+            jit_kw = {}
+            if self.mesh is not None:
+                rep, bsh = replicated(self.mesh), batch_sharding(self.mesh)
+                jit_kw = dict(
+                    in_shardings=(rep, bsh, bsh) if with_ratio
+                    else (rep, rep, bsh),
+                    out_shardings=bsh)
             if with_ratio:
                 def fn(fdn_p, x, ratio):
                     return self._fdn_fwd(fdn_p, x, ratio)[0]
 
-                self._jit_cache[key] = jax.jit(fn)
+                self._jit_cache[key] = jax.jit(fn, **jit_kw)
             else:
                 def fn(fdn_p, lp_p, x):
                     # LPNet always runs f32 (trained head; bf16 shifts
@@ -93,7 +115,7 @@ class FDNPredictor:
                     return self._fdn_fwd(fdn_p, x,
                                          ratio.astype(x.dtype))[0]
 
-                self._jit_cache[key] = jax.jit(fn)
+                self._jit_cache[key] = jax.jit(fn, **jit_kw)
         return self._jit_cache[key]
 
     def restore(self, img, ratio=None):
@@ -103,16 +125,30 @@ class FDNPredictor:
         squeeze = img.ndim == 3
         if squeeze:
             img = img[None]
+        n_real = img.shape[0]
+        if self.mesh is not None:
+            # batch zero-padded to a mesh multiple so the shard is even
+            n_dev = self.mesh.devices.size
+            pad_n = (-n_real) % n_dev
+            if pad_n:
+                img = np.concatenate(
+                    [img, np.zeros((pad_n,) + img.shape[1:],
+                                   img.dtype)], axis=0)
         x = jnp.asarray(img, self.dtype)
         x, hw = pad_to_multiple(x, 32)
         if ratio is None:
             fn = self._compiled(x.shape, False)
             out = fn(self.fdn_params, self.lpnet_params, x)
         else:
-            ratio = jnp.asarray(ratio, self.dtype).reshape(-1, 1)
+            ratio = np.asarray(ratio, np.float32).reshape(-1, 1)
+            if ratio.shape[0] != x.shape[0]:  # batch was mesh-padded
+                ratio = np.concatenate(
+                    [ratio, np.full((x.shape[0] - ratio.shape[0], 1), 0.5,
+                                    np.float32)], axis=0)
+            ratio = jnp.asarray(ratio, self.dtype)
             fn = self._compiled(x.shape, True)
             out = fn(self.fdn_params, x, ratio)
-        out = unpad(out, hw)
+        out = unpad(out, hw)[:n_real]
         out = np.asarray(out.astype(jnp.float32))
         return out[0] if squeeze else out
 

@@ -49,3 +49,42 @@ def test_tiled_restore_mesh_sharded_matches_single_device(rng):
     for sh in seen:
         assert len(sh.device_set) == 8, sh  # one tile per device
     assert_close(out_mesh, out_single, atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_predictor_mesh_dp_matches_single_device(rng):
+    """FDNPredictor(mesh=...): batch-sharded DP serving equals the
+    single-device path, including the zero-pad to a mesh multiple
+    (batch 5 on 8 devices) and the explicit-ratio protocol.
+
+    Uses a toy restorer in place of the full FDN forward (the full-model
+    mesh compile lives in __graft_entry__.dryrun_multichip; suite budget
+    keeps this test light) — the plumbing under test is the predictor's
+    sharding/padding, not the network."""
+    from fdn_tip2025_tpu.inference import FDNPredictor
+    from fdn_tip2025_tpu.parallel.mesh import replicate_tree
+
+    mesh = make_mesh(8)
+    toy_params = {"g": jnp.asarray(1.5, jnp.float32)}
+
+    def toy_fwd(p, x, ratio):
+        return (jnp.tanh(x * p["g"]) + ratio[:, :, None, None],)
+
+    def build(mesh_arg):
+        pred = FDNPredictor.__new__(FDNPredictor)  # skip full-FDN init
+        pred.variant = "lolblur"
+        pred.dtype = jnp.float32
+        pred.mesh = mesh_arg
+        pred._fdn_fwd = toy_fwd
+        pred.fdn_params = (replicate_tree(toy_params, mesh_arg)
+                           if mesh_arg is not None else toy_params)
+        pred.lpnet_params = {}
+        pred._jit_cache = {}
+        return pred
+
+    imgs = rng.random((5, 40, 56, 3), dtype=np.float32)
+    ratios = rng.random((5,), dtype=np.float32)
+    out_mesh = build(mesh).restore(imgs, ratio=ratios)
+    out_single = build(None).restore(imgs, ratio=ratios)
+    assert out_mesh.shape == (5, 40, 56, 3)
+    assert_close(out_mesh, out_single, atol=1e-6, rtol=1e-6)
