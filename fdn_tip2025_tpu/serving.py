@@ -1,0 +1,188 @@
+"""Production serving: HTTP daemon around FDNPredictor with dynamic
+micro-batching.
+
+TPU-native serving design (no reference analog — the reference's
+deployment story is batch scripts, inference_fdn_lolblur.py):
+
+  * requests are grouped by padded x32 bucket shape, so every batch hits
+    an already-compiled XLA program (FDNPredictor's jit cache);
+  * a micro-batcher collects same-bucket requests for up to
+    `window_ms` (first request pays the latency; followers ride the
+    batch) bounded by `max_batch`;
+  * with a mesh, batches are sharded over devices by FDNPredictor
+    (params replicated, batch zero-padded to a mesh multiple).
+
+The daemon is stdlib-only (ThreadingHTTPServer): POST /restore with an
+image body (PNG/JPEG, anything cv2 decodes), optional `?ratio=`
+overriding the LPNet ratio; GET /healthz for liveness.
+"""
+
+import json
+import queue
+import threading
+import time
+
+import numpy as np
+
+
+def _bucket_shape(h, w):
+    """Pad-to-x32 bucket (the jit-cache key FDNPredictor will land on;
+    protocol: reference image_restoration_model.py:581-583)."""
+    return (-(-h // 32) * 32, -(-w // 32) * 32)
+
+
+class _Pending:
+    __slots__ = ("img", "ratio", "event", "out", "error")
+
+    def __init__(self, img, ratio):
+        self.img = img
+        self.ratio = ratio
+        self.event = threading.Event()
+        self.out = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Groups same-bucket requests into predictor batches.
+
+    One worker thread: drains the queue, groups by (bucket, has_ratio),
+    waits up to window_ms for followers, runs the predictor once per
+    group. Mixed-shape traffic never blocks a group (different buckets
+    are dispatched on consecutive drains).
+    """
+
+    def __init__(self, predictor, max_batch=8, window_ms=5.0):
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.window_ms = float(window_ms)
+        self.q = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "images": 0}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, img, ratio=None, timeout=120.0):
+        """img: (H, W, 3) float32 [0,1]. Blocks until the batch runs."""
+        p = _Pending(img, ratio)
+        self.q.put(p)
+        if not p.event.wait(timeout):
+            raise TimeoutError("restore timed out")
+        if p.error is not None:
+            raise p.error
+        return p.out
+
+    def close(self):
+        self._stop.set()
+        self.q.put(None)  # wake the worker
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _key(self, p):
+        return (_bucket_shape(*p.img.shape[:2]), p.ratio is not None)
+
+    def _run(self):
+        while not self._stop.is_set():
+            first = self.q.get()
+            if first is None:
+                continue
+            group = [first]
+            key = self._key(first)
+            deadline = time.monotonic() + self.window_ms / 1e3
+            leftovers = []
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    p = self.q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if p is None:
+                    continue
+                if self._key(p) == key:
+                    group.append(p)
+                else:
+                    leftovers.append(p)
+            for p in leftovers:  # different bucket: next drain
+                self.q.put(p)
+            self._dispatch(group, key)
+
+    def _dispatch(self, group, key):
+        (bh, bw), with_ratio = key
+        try:
+            # pad every image of the bucket to the exact bucket shape so
+            # they stack (reflect-pad like the x32 protocol; the
+            # predictor's own x32 pad is then a no-op) and crop back.
+            padded = np.stack([
+                np.pad(p.img,
+                       ((0, bh - p.img.shape[0]),
+                        (0, bw - p.img.shape[1]), (0, 0)),
+                       mode="reflect")
+                for p in group])
+            ratios = ([p.ratio for p in group] if with_ratio else None)
+            out = self.predictor.restore(
+                padded, ratio=np.asarray(ratios, np.float32)
+                if with_ratio else None)
+            for p, o in zip(group, out):
+                p.out = o[:p.img.shape[0], :p.img.shape[1]]
+        except Exception as e:  # noqa: BLE001 — propagate to waiters
+            for p in group:
+                p.error = e
+        finally:
+            self.stats["requests"] += len(group)
+            self.stats["images"] += len(group)
+            self.stats["batches"] += 1
+            for p in group:
+                p.event.set()
+
+
+def make_http_server(batcher, host="0.0.0.0", port=8700):
+    """ThreadingHTTPServer: POST /restore (image body -> PNG),
+    GET /healthz (JSON liveness + batcher stats)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import urlparse, parse_qs
+
+    import cv2
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path != "/healthz":
+                return self._send(404, b'{"error": "not found"}')
+            info = {"status": "ok", **batcher.stats}
+            self._send(200, json.dumps(info).encode())
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/restore":
+                return self._send(404, b'{"error": "not found"}')
+            n = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(n)
+            buf = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if buf is None:
+                return self._send(400, b'{"error": "undecodable image"}')
+            qs = parse_qs(url.query)
+            ratio = (float(qs["ratio"][0]) if "ratio" in qs else None)
+            img = buf[..., ::-1].astype(np.float32) / 255.0  # BGR->RGB
+            try:
+                out = batcher.submit(img, ratio)
+            except Exception as e:  # noqa: BLE001 — report to client
+                return self._send(
+                    500, json.dumps({"error": repr(e)}).encode())
+            out8 = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+            ok, png = cv2.imencode(".png", out8[..., ::-1])  # RGB->BGR
+            if not ok:
+                return self._send(500, b'{"error": "encode failed"}')
+            self._send(200, png.tobytes(), "image/png")
+
+    return ThreadingHTTPServer((host, port), Handler)

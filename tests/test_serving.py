@@ -1,0 +1,134 @@
+"""Serving daemon: micro-batcher grouping + HTTP surface.
+
+Uses a toy predictor (FDNPredictor.restore semantics: (B,H,W,3) float32
+in/out) — the network itself is covered by the parity/inference tests;
+here the unit under test is the batching/bucketing/HTTP plumbing.
+"""
+
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from fdn_tip2025_tpu.serving import MicroBatcher, make_http_server
+
+
+class ToyPredictor:
+    def __init__(self):
+        self.calls = []
+
+    def restore(self, imgs, ratio=None):
+        self.calls.append((imgs.shape, None if ratio is None
+                           else np.asarray(ratio).shape))
+        out = np.tanh(imgs * 2.0)
+        if ratio is not None:
+            out = out + np.asarray(ratio, np.float32).reshape(-1, 1, 1, 1)
+        return out
+
+
+def _expected(img, ratio=None):
+    out = np.tanh(img * 2.0)
+    return out if ratio is None else out + ratio
+
+
+def test_microbatcher_groups_same_bucket(rng):
+    pred = ToyPredictor()
+    mb = MicroBatcher(pred, max_batch=4, window_ms=60.0)
+    try:
+        imgs = [rng.random((30, 40, 3), dtype=np.float32)
+                for _ in range(4)]
+        outs = [None] * 4
+
+        def worker(i):
+            outs[i] = mb.submit(imgs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for img, out in zip(imgs, outs):
+            assert out.shape == img.shape
+            np.testing.assert_allclose(out, _expected(img), atol=1e-6)
+        # all four images rode ONE predictor call, padded to the bucket
+        assert pred.calls == [((4, 32, 64, 3), None)]
+        assert mb.stats["batches"] == 1 and mb.stats["images"] == 4
+    finally:
+        mb.close()
+
+
+def test_microbatcher_mixed_buckets_and_ratio(rng):
+    pred = ToyPredictor()
+    mb = MicroBatcher(pred, max_batch=4, window_ms=10.0)
+    try:
+        a = rng.random((30, 40, 3), dtype=np.float32)   # bucket 32x64
+        b = rng.random((70, 40, 3), dtype=np.float32)   # bucket 96x64
+        outs = {}
+
+        def worker(k, img, ratio):
+            outs[k] = mb.submit(img, ratio)
+
+        threads = [threading.Thread(target=worker, args=args) for args in
+                   [("a", a, None), ("b", b, None), ("ar", a, 0.25)]]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        np.testing.assert_allclose(outs["a"], _expected(a), atol=1e-6)
+        np.testing.assert_allclose(outs["b"], _expected(b), atol=1e-6)
+        np.testing.assert_allclose(outs["ar"], _expected(a, 0.25),
+                                   atol=1e-6)
+        # three incompatible groups -> three predictor calls
+        assert mb.stats["batches"] == 3
+    finally:
+        mb.close()
+
+
+def test_microbatcher_propagates_errors(rng):
+    class Boom:
+        def restore(self, imgs, ratio=None):
+            raise RuntimeError("boom")
+
+    mb = MicroBatcher(Boom(), max_batch=2, window_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            mb.submit(rng.random((8, 8, 3), dtype=np.float32))
+    finally:
+        mb.close()
+
+
+def test_http_server_roundtrip(rng):
+    import cv2
+
+    pred = ToyPredictor()
+    mb = MicroBatcher(pred, max_batch=2, window_ms=1.0)
+    srv = make_http_server(mb, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img8 = (rng.random((24, 40, 3)) * 255).astype(np.uint8)
+        ok, png = cv2.imencode(".png", img8[..., ::-1])  # write BGR
+        assert ok
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/restore?ratio=0.1",
+            data=png.tobytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            assert resp.headers["Content-Type"] == "image/png"
+            out8 = cv2.imdecode(
+                np.frombuffer(resp.read(), np.uint8),
+                cv2.IMREAD_COLOR)[..., ::-1]
+        expected = _expected(img8.astype(np.float32) / 255.0, 0.1)
+        expected8 = np.clip(np.round(expected * 255.0), 0, 255)
+        assert out8.shape == img8.shape
+        assert np.abs(out8.astype(np.float32) - expected8).max() <= 1
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as resp:
+            assert b'"status": "ok"' in resp.read()
+    finally:
+        srv.shutdown()
+        mb.close()

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""FDN serving daemon — batching HTTP inference server.
+
+  python tools/serve.py --fdn-ckpt FDN_lolblur.pth \
+      --lpnet-ckpt LPNet_lolblur.pth --dtype bfloat16 --port 8700
+
+  curl -X POST --data-binary @dark.png \
+      'http://localhost:8700/restore' -o restored.png
+  curl -X POST --data-binary @dark.png \
+      'http://localhost:8700/restore?ratio=0.55' -o restored.png
+  curl http://localhost:8700/healthz
+
+Serving modes: --dtype bfloat16 is the validated production mode
+(43.5 dB vs f32 with trained weights); --mesh N shards batches over the
+first N devices (data parallel). Requests are micro-batched per padded
+x32 bucket (--max-batch / --window-ms).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
+
+force_platform()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="lolblur",
+                    choices=["lolblur", "lolv1"])
+    ap.add_argument("--fdn-ckpt", default=None)
+    ap.add_argument("--lpnet-ckpt", default=None)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard batches over the first N devices (0 = "
+                         "single device)")
+    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--port", type=int, default=8700)
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--window-ms", type=float, default=5.0)
+    ap.add_argument("--warmup-hw", default=None,
+                    help="H,W to compile at startup (e.g. 640,1120) so "
+                         "the first request doesn't pay the jit")
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fdn_tip2025_tpu.inference import FDNPredictor
+    from fdn_tip2025_tpu.parallel.mesh import make_mesh
+    from fdn_tip2025_tpu.serving import MicroBatcher, make_http_server
+
+    if args.fdn_ckpt is None:
+        print("WARNING: no --fdn-ckpt — serving RANDOM FDN weights "
+              "(smoke mode only)", flush=True)
+    pred = FDNPredictor(
+        variant=args.variant, fdn_ckpt=args.fdn_ckpt,
+        lpnet_ckpt=args.lpnet_ckpt,
+        dtype=jnp.dtype(args.dtype),
+        mesh=make_mesh(args.mesh) if args.mesh else None)
+    if args.warmup_hw:
+        h, w = (int(v) for v in args.warmup_hw.split(","))
+        pred.restore(np.zeros((h, w, 3), np.float32))
+        print(f"warmed up at {h}x{w}", flush=True)
+
+    batcher = MicroBatcher(pred, max_batch=args.max_batch,
+                           window_ms=args.window_ms)
+    srv = make_http_server(batcher, args.host, args.port)
+    print(f"serving on {args.host}:{args.port} "
+          f"(dtype={args.dtype}, mesh={args.mesh or 1})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.close()
+
+
+if __name__ == "__main__":
+    main()
