@@ -55,6 +55,10 @@ def main():
         os.environ.setdefault("FDN_PATCH_DFT_FAST", "1")
     elif mode == "bf16":
         os.environ.setdefault("FDN_BENCH_DTYPE", "bfloat16")
+        # partial scan unroll wins ~3.5% in bf16 serving (measured twice:
+        # 0.831/0.833 vs 0.802/0.805/0.815; unroll 10 = 0.826, full
+        # unroll slower — OPTIMIZATIONS.md round-3 scan-unroll sweep)
+        os.environ.setdefault("FDN_SCAN_UNROLL", "5")
     elif mode != "parity":
         raise SystemExit(f"unknown FDN_BENCH_MODE {mode!r}")
 

@@ -13,6 +13,8 @@ Design notes (TPU-first):
 """
 
 
+import os
+
 import numpy as np
 
 import jax
@@ -62,6 +64,11 @@ class FDNPredictor:
         independent, so DP serving scales linearly over ICI (the
         multi-GPU analog the reference gets from dist_test.sh's
         per-rank image sharding, image_restoration_model.py:728-731)."""
+        if dtype == jnp.bfloat16:
+            # serving-only scan unroll: +3.5% measured in bf16 at
+            # 1120x640 (training keeps unroll 1 — compile time and remat
+            # interplay; see OPTIMIZATIONS.md round-3 scan-unroll sweep)
+            os.environ.setdefault("FDN_SCAN_UNROLL", "5")
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.variant = variant
