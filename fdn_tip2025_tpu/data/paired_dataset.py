@@ -11,6 +11,7 @@ here.
 """
 
 import glob
+import os
 
 import numpy as np
 
@@ -21,7 +22,9 @@ from fdn_tip2025_tpu.data.transforms import paired_random_crop, augment_pair
 class PairedImageDataset:
     def __init__(self, opt):
         """opt keys: dataroot_gt, dataroot_lq (glob patterns), phase
-        ('train'|'val'), gt_size, use_flip, use_rot, scale (default 1)."""
+        ('train'|'val'), gt_size, use_flip, use_rot, scale (default 1),
+        native (bool: use the C++ decode/augment pipeline when built —
+        default on; env FDN_NATIVE_LOADER=0 disables globally)."""
         self.opt = opt
         self.gt_paths = sorted(glob.glob(opt["dataroot_gt"]))
         self.lq_paths = sorted(glob.glob(opt["dataroot_lq"]))
@@ -31,12 +34,44 @@ class PairedImageDataset:
                 f"{len(self.lq_paths)} lq")
         self.scale = int(opt.get("scale", 1))
         self.is_train = opt.get("phase", "train") == "train"
+        self._native = None
+        if (opt.get("native", True) and self.is_train and self.scale == 1
+                and os.environ.get("FDN_NATIVE_LOADER") != "0"):
+            from fdn_tip2025_tpu import native
+            if native.available():
+                self._native = native
 
     def __len__(self):
         return len(self.gt_paths)
 
+    def _draw(self, rng, h, w, gt_size):
+        """Random crop + augment draws, identical order/semantics to the
+        cv2 path (paired_random_crop then augment_pair) so native and
+        Python batches are bit-identical given the same rng."""
+        hp, wp = max(h, gt_size), max(w, gt_size)
+        top = int(rng.integers(0, hp - gt_size + 1))
+        left = int(rng.integers(0, wp - gt_size + 1))
+        do_h = self.opt.get("use_flip", True) and rng.random() < 0.5
+        rot = self.opt.get("use_rot", True)
+        do_v = rot and rng.random() < 0.5
+        do_r = rot and rng.random() < 0.5
+        return top, left, do_h, do_v, do_r
+
     def __getitem__(self, idx, rng=None):
         rng = rng or np.random.default_rng()
+        if self._native is not None:
+            gt_size = self.opt["gt_size"]
+            try:
+                h, w = self._native.image_dims(self.lq_paths[idx])
+                top, left, do_h, do_v, do_r = self._draw(rng, h, w, gt_size)
+                lq, gt = self._native.load_pair(
+                    self.lq_paths[idx], self.gt_paths[idx], top, left,
+                    gt_size, do_h, do_v, do_r)
+                return {"lq": lq, "gt": gt,
+                        "lq_path": self.lq_paths[idx],
+                        "gt_path": self.gt_paths[idx]}
+            except IOError:
+                pass  # unsupported format on this sample: cv2 fallback
         gt = imread(self.gt_paths[idx])
         lq = imread(self.lq_paths[idx])
         if self.is_train:
