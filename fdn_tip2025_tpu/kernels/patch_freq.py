@@ -294,6 +294,150 @@ def fdsa_chain_cm(t, fft40, tile=2816):
     return out.reshape(c3, 64, n)
 
 
+def _fdsa_block_kernel(t_ref, fft_ref, vv_ref, ln_ref, a_ref, pw_ref,
+                       o_ref, *, e, dtype, has_bias, interp=False):
+    """Whole-FDSA-tail kernel: spectra algebra + 3 batched inverse DFTs +
+    cross-channel LayerNorm + v_value gate, one VMEM pass.
+
+    Grid tiles N only; the FULL channel dim lives in the block so the
+    LayerNorm reduction over C runs in registers. The inverse DFTs are
+    batched `dot_general`s over C and the projection stays in XLA (it
+    consumes the (3E, 64, N) output directly). This kernel replaces the
+    XLA chain's materialized cat/irfft/LN/gate segments (~0.9 GB/block
+    of HBM traffic at level 1). Requires the batched-matmul Mosaic form
+    (HTTP-500'd in earlier rounds; re-probed working — OPTIMIZATIONS.md
+    round-4).
+    """
+    f32 = jnp.float32
+    t = t_ref[...]                                # (3E, 80, NT)
+    qr = t[:e, :40].astype(f32)
+    qi = t[:e, 40:].astype(f32)
+    kr = t[e:2 * e, :40].astype(f32)
+    ki = t[e:2 * e, 40:].astype(f32)
+    fp = fft_ref[:, :, 0:1].astype(f32)           # (E, 40, 1)
+    vr = _clamp(t[2 * e:, :40].astype(f32) * fp)
+    vi = _clamp(t[2 * e:, 40:].astype(f32) * fp)
+
+    qk_im = _clamp(qr * ki + qi * kr)
+    qk_re = _clamp(qr * kr - qi * ki)
+    qka = jnp.sqrt(qk_re * qk_re + qk_im * qk_im)
+
+    qr, qi = _clamp(qr), _clamp(qi)
+    kr, ki = _clamp(kr), _clamp(ki)
+    v_a = jnp.sqrt(vr * vr + vi * vi)
+    qn = jnp.sqrt(qr * qr + qi * qi)
+    kn = jnp.sqrt(kr * kr + ki * ki)
+    qck_r = qr * kr + qi * ki
+    qck_i = qi * kr - qr * ki
+    inv_qk = 1.0 / (qn * kn)
+    s1 = v_a * inv_qk
+    s2 = qka / v_a
+    s3 = qka * inv_qk
+
+    # interpret mode (CPU tests): the CPU dot thunk rejects
+    # bf16 x bf16 -> f32, so upcast operands there (a strict precision
+    # superset of the TPU bf16 MXU pass; tolerances absorb it)
+    dot_t = f32 if interp else dtype
+    A = a_ref[:]                                  # (64, 80), dtype
+    Ab = jnp.broadcast_to(A[None], (e,) + A.shape).astype(dot_t)
+    vv = vv_ref[...]                              # (E, 64, NT)
+
+    def tail(rr, ii, slot):
+        # bf16 cast before the inverse DFT matches the XLA chain
+        # (nn/attention.py casts cat_r/cat_i to the array dtype).
+        cat = jnp.concatenate([rr, ii], axis=1).astype(dtype).astype(dot_t)
+        o = jax.lax.dot_general(
+            Ab, cat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32)           # (E, 64, NT) f32
+        # (E, 64, 1) slices of the pre-broadcast (6, E, 64, 8) param
+        # block: Mosaic rejects the (E,) -> (E,1,1) reshape
+        # ("unsupported shape cast", probed round-4), lane-slicing a
+        # wider input is the supported spelling.
+        w = ln_ref[slot][:, :, 0:1].astype(f32)
+        mu = jnp.mean(o, axis=0, keepdims=True)
+        var = jnp.mean(o * o, axis=0, keepdims=True) - mu * mu
+        if has_bias:
+            b = ln_ref[3 + slot][:, :, 0:1].astype(f32)
+            ln = ((o - mu) * jax.lax.rsqrt(var + 1e-5) * w + b)
+        else:
+            ln = o * jax.lax.rsqrt(var + 1e-5) * w
+        gated = (ln.astype(dtype) * vv).astype(dot_t)
+        # fold the 1x1 projection: contraction over C keeps the written
+        # block at (dim, 64, NT) instead of (3E, 64, NT)
+        return jax.lax.dot_general(
+            pw_ref[slot].astype(dot_t), gated, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32)
+
+    acc = tail(s1 * qck_r, s1 * qck_i, 0)
+    acc = acc + tail(s2 * vr, s2 * vi, 1)
+    acc = acc + tail(s3 * qck_r, s3 * qck_i, 2)
+    o_ref[...] = acc.astype(dtype)
+
+
+def fdsa_block_cm(t, fft40, vv, ln_w, ln_b, proj_w, tile=None):
+    """Fused FDSA tail on channel-major spectra, full-C blocks.
+
+    t: (3E, 80, N) stacked q/k/v half-spectra; fft40: (40, E) filter;
+    vv: (E, 64, N) v_value patches; ln_w: [w1, w2, w3] each (E,);
+    ln_b: [b1, b2, b3] each (E,) or all None (BiasFree); proj_w: the
+    1x1 projection weight (3E, dim).
+    Returns (dim, 64, N) = proj(concat_i(vv * LN_i(irfft(out_i)))) —
+    the XLA tail's post-projection tensor minus the bias
+    (nn/attention.py _fdsa_cm_tail; bias stays in XLA).
+    """
+    c3, _, n = t.shape
+    e = c3 // 3
+    if tile is None:
+        tile = int(__import__('os').environ.get('FDN_PALLAS_BLOCK_NT',
+                                                '512'))
+    # VMEM budget: the f32 working set scales with c3 * nt; cap the tile
+    # so ~24 MB of f32 intermediates fit alongside the bf16 blocks
+    # (level 1 E=38 -> 512, level 2 E=76 -> 256, level 3 E=153 -> 128).
+    # measured stack use ~72 KB per lane column at c3=114 (compiler
+    # error message, round-4); size the tile for a ~48 MB stack and lift
+    # the kernel's scoped-vmem limit accordingly (the 16 MB default
+    # rejects even nt=256 at level 1).
+    budget = int(float(__import__('os').environ.get('FDN_PALLAS_BLOCK_VMEM', '24e6')) // (c3 * 80 * 4)) // 128 * 128
+    nt = max(128, min(tile, ((n + 127) // 128) * 128, budget))
+    grid = (pl.cdiv(n, nt),)
+    _, A = _mats(t.dtype)
+    fftb = jnp.broadcast_to(
+        jnp.asarray(fft40, t.dtype).T[:, :, None], (e, 40, 8))
+    has_bias = ln_b[0] is not None
+    rows = list(ln_w) + (list(ln_b) if has_bias else list(ln_w))
+    ln = jnp.stack([r.astype(t.dtype) for r in rows])  # (6, E)
+    ln = jnp.broadcast_to(ln[:, :, None, None], (6, e, 64, 8))
+    dim = proj_w.shape[-1]
+    pw = jnp.stack([proj_w[:e], proj_w[e:2 * e], proj_w[2 * e:]]
+                   ).astype(t.dtype)                   # (3, E, dim)
+    interp = jax.default_backend() == "cpu"
+    return pl.pallas_call(
+        functools.partial(_fdsa_block_kernel, e=e, dtype=t.dtype,
+                          has_bias=has_bias, interp=interp),
+        out_shape=jax.ShapeDtypeStruct((dim, 64, n), t.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c3, 80, nt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, 40, 8), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, 64, nt), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, e, 64, 8), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 80), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, e, dim), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((dim, 64, nt), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(t, fftb, vv, ln, A, pw)
+
+
 def fdsa_freq(q, k, v, fft_p, tile=4):
     """q, k, v: (N, 64, E) patches; fft_p: (40, E).
 

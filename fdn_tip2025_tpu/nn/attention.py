@@ -125,6 +125,26 @@ def fdsa(params, x):
     vv = jnp.einsum("fk,bijkc->bijfc", eye, vflat, precision=prec)
     v_value_p = vv.transpose(4, 3, 0, 1, 2).reshape(expand, 64, n_p)
 
+    if (os.environ.get("FDN_PALLAS_BLOCK") == "1"
+            and h_qkv.dtype == jnp.bfloat16):
+        # Whole-tail kernel (round-4): algebra + batched inverse DFTs +
+        # cross-channel LN + v_value gate in one VMEM pass
+        # (kernels/patch_freq.fdsa_block_cm); only the projection einsum
+        # stays in XLA. Unblocked by the batched-matmul Mosaic form the
+        # compile helper previously rejected.
+        from fdn_tip2025_tpu.kernels.patch_freq import fdsa_block_cm
+        n1, n2, n3 = (params["norm1"]["body"], params["norm2"]["body"],
+                      params["norm3"]["body"])
+        proj = fdsa_block_cm(
+            t, params["fft"].reshape(40, expand), v_value_p,
+            [n1["weight"], n2["weight"], n3["weight"]],
+            [n1.get("bias"), n2.get("bias"), n3.get("bias")],
+            params["project_out"]["weight"][0, 0])
+        pb = params["project_out"].get("bias")
+        if pb is not None:
+            proj = proj + pb.reshape((-1,) + (1,) * (proj.ndim - 1))
+        return from_patches_cm(proj, b, hh, ww)
+
     if (os.environ.get("FDN_PALLAS_CM") == "1"
             and h_qkv.dtype == jnp.bfloat16):
         # Fused Pallas chain: spectra t -> algebra -> 3 inverse DFTs in
