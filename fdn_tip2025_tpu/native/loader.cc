@@ -41,10 +41,6 @@ void set_err(const char* msg) {
 }
 
 // ------------------------------------------------------------ PNG decode
-struct PngReadCtx {
-  FILE* f = nullptr;
-};
-
 bool decode_png(const char* path, std::vector<uint8_t>* rgb, int* h,
                 int* w) {
   FILE* f = std::fopen(path, "rb");
@@ -321,12 +317,18 @@ int fdn_load_batch(int batch, const char** lq_paths, const char** gt_paths,
   if (num_threads > batch) num_threads = batch;
   const size_t stride = static_cast<size_t>(crop) * crop * 3;
   std::vector<int> fail(num_threads, 0);
+  // g_err is thread_local; workers copy their first error here so the
+  // main thread's fdn_last_error() reports it
+  std::vector<std::string> errs(num_threads);
   auto worker = [&](int t) {
     for (int i = t; i < batch; i += num_threads) {
       SampleSpec s{lq_paths[i], gt_paths[i], tops[i],   lefts[i],
                    crop,        hs[i],       vs[i],     rs[i]};
       if (!load_pair_impl(s, lq_out + stride * i, gt_out + stride * i)) {
-        if (!fail[t]) fail[t] = i + 1;
+        if (!fail[t]) {
+          fail[t] = i + 1;
+          errs[t] = g_err;
+        }
       }
     }
   };
@@ -338,8 +340,12 @@ int fdn_load_batch(int batch, const char** lq_paths, const char** gt_paths,
     for (int t = 0; t < num_threads; ++t) ts.emplace_back(worker, t);
     for (auto& th : ts) th.join();
   }
-  for (int t = 0; t < num_threads; ++t)
-    if (fail[t]) return fail[t];
+  for (int t = 0; t < num_threads; ++t) {
+    if (fail[t]) {
+      set_err(errs[t].c_str());
+      return fail[t];
+    }
+  }
   return 0;
 }
 

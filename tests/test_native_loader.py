@@ -130,6 +130,8 @@ def test_batch_equals_per_sample(img_dir):
 def test_batch_error_reports_sample(img_dir):
     paths = [os.path.join(img_dir, "rgb_0.png"),
              os.path.join(img_dir, "nope.png")]
-    with pytest.raises(IOError, match="nope"):
+    # worker-thread errors must propagate to the main thread's
+    # fdn_last_error (g_err is thread_local): match the cause text too
+    with pytest.raises(IOError, match="nope.*fopen failed"):
         native.load_batch(paths, paths, [0, 0], [0, 0], 16,
-                          [0, 0], [0, 0], [0, 0])
+                          [0, 0], [0, 0], [0, 0], num_threads=2)
