@@ -38,6 +38,8 @@ def _all_f32(tree):
                for a in jax.tree.leaves(tree))
 
 
+@pytest.mark.slow  # full-FDN amp grad compile ~110 s on this host; the
+# MAR amp convergence test keeps default-suite amp coverage (~40 s)
 def test_fdn_amp_step_finite_and_master_f32(rng):
     mesh = make_mesh(1)
     tr = create_trainer(_opt("ImageRestorationModel", 1e-3), mesh=mesh)
@@ -51,7 +53,6 @@ def test_fdn_amp_step_finite_and_master_f32(rng):
     assert _all_f32(tr.opt_state)
 
 
-@pytest.mark.slow
 def test_mar_amp_overfits_fixed_batch(rng):
     mesh = make_mesh(1)
     tr = create_trainer(_opt("ImageRestorationModel_ipretrain", 5e-4),
