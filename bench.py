@@ -103,6 +103,22 @@ def main():
         fwd(fdn_params, lp_params, x).block_until_ready()
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
+
+    # Tunnel-sync guard: through the axon tunnel block_until_ready can
+    # return before execution for some programs (observed with Pallas
+    # custom calls: a bogus 465 MP/s). Cross-check one iteration with a
+    # real D2H element fetch; if it disagrees >2x, re-time with the
+    # fetch-based sync (honest, slightly pessimistic).
+    t0 = time.perf_counter()
+    float(fwd(fdn_params, lp_params, x)[0, 0, 0, 0])
+    dt_fetch = time.perf_counter() - t0
+    if dt_fetch > 2 * dt:
+        times = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            float(fwd(fdn_params, lp_params, x)[0, 0, 0, 0])
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
     mps = (H * W / 1e6) / dt
     vs = mps / TORCH_CPU_MPS if TORCH_CPU_MPS > 0 else None
     print(json.dumps({

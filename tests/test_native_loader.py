@@ -135,3 +135,14 @@ def test_batch_error_reports_sample(img_dir):
     with pytest.raises(IOError, match="nope.*fopen failed"):
         native.load_batch(paths, paths, [0, 0], [0, 0], 16,
                           [0, 0], [0, 0], [0, 0], num_threads=2)
+
+
+def test_multi_reflection_pad(img_dir):
+    """Crop far larger than the image: reflect-101 must tile (period
+    2(n-1)), matching cv2.copyMakeBorder like the Python chain."""
+    p = os.path.join(img_dir, "gray.png")  # 48x48
+    crop = 128
+    lq_n, _ = native.load_pair(p, p, 0, 0, crop, 0, 0, 0)
+    img = imread(p)
+    padded, _ = padding_min_size(img, img, crop)
+    np.testing.assert_array_equal(lq_n, padded[:crop, :crop])
