@@ -14,6 +14,7 @@ Design notes (TPU-first):
 
 
 import os
+import threading
 
 import numpy as np
 
@@ -26,7 +27,7 @@ from fdn_tip2025_tpu.models import (
 )
 from fdn_tip2025_tpu.checkpoint import load_model_from_pth
 from fdn_tip2025_tpu.checkpoint.manager import load_network
-from fdn_tip2025_tpu.ops import pad_to_multiple, unpad, grayscale
+from fdn_tip2025_tpu.ops import grayscale
 from fdn_tip2025_tpu.parallel.mesh import (
     batch_sharding, replicated, replicate_tree,
 )
@@ -91,9 +92,15 @@ class FDNPredictor:
             self.fdn_params = replicate_tree(self.fdn_params, mesh)
             self.lpnet_params = replicate_tree(self.lpnet_params, mesh)
         self._jit_cache = {}
+        self._cache_lock = threading.Lock()
 
-    def _compiled(self, shape, with_ratio):
-        key = (shape, with_ratio)
+    def _compiled(self, shape, with_ratio, from_uint8, to_uint8):
+        key = (shape, with_ratio, from_uint8, to_uint8)
+        with self._cache_lock:  # concurrent serving dispatch threads
+            return self._compiled_locked(key, with_ratio,
+                                         from_uint8, to_uint8)
+
+    def _compiled_locked(self, key, with_ratio, from_uint8, to_uint8):
         if key not in self._jit_cache:
             jit_kw = {}
             if self.mesh is not None:
@@ -102,15 +109,37 @@ class FDNPredictor:
                     in_shardings=(rep, bsh, bsh) if with_ratio
                     else (rep, rep, bsh),
                     out_shardings=bsh)
+
+            def pre(x):
+                # uint8 wire format: normalize on-device in f32, so the
+                # tunnel/PCIe ships 1 byte/px instead of 4. Matches the
+                # host f32 divide to <=1 ULP (XLA lowers x/255 to
+                # x*(1/255)) — far below the 1/255 quantization the
+                # uint8 wire carries by construction
+                if from_uint8:
+                    x = x.astype(jnp.float32) / 255.0
+                return x.astype(self.dtype)
+
+            def post(out):
+                # uint8 egress matches tensor2img exactly (clip 0..1,
+                # *255, round-half-even — img_util.py:41-118); the
+                # reference's own eval protocol quantizes to uint8 at
+                # imwrite time, so this is lossless w.r.t. saved PNGs
+                if to_uint8:
+                    of = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+                    return jnp.round(of * 255.0).astype(jnp.uint8)
+                return out
+
             if with_ratio:
                 def fn(fdn_p, x, ratio):
-                    return self._fdn_fwd(fdn_p, x, ratio)[0]
+                    return post(self._fdn_fwd(fdn_p, pre(x), ratio)[0])
 
                 self._jit_cache[key] = jax.jit(fn, **jit_kw)
             else:
                 def fn(fdn_p, lp_p, x):
                     # LPNet always runs f32 (trained head; bf16 shifts
                     # the ratio ~1% which the gamma exponent amplifies)
+                    x = pre(x)
                     xf = x.astype(jnp.float32)
                     pred = ipredict_forward(lp_p, xf)
                     if self.variant == "lolv1":
@@ -119,20 +148,32 @@ class FDNPredictor:
                         ratio = gray / pred
                     else:
                         ratio = pred
-                    return self._fdn_fwd(fdn_p, x,
-                                         ratio.astype(x.dtype))[0]
+                    return post(self._fdn_fwd(fdn_p, x,
+                                              ratio.astype(x.dtype))[0])
 
                 self._jit_cache[key] = jax.jit(fn, **jit_kw)
         return self._jit_cache[key]
 
-    def restore(self, img, ratio=None):
-        """img: (H,W,3) or (B,H,W,3) float32 RGB [0,1]. Returns same-shape
-        restored image(s), computed at pad-to-x32 resolution then cropped
-        (image_restoration_model.py:581-583 protocol)."""
+    def restore(self, img, ratio=None, output="float32"):
+        """img: (H,W,3) or (B,H,W,3) RGB — float32 in [0,1] or uint8
+        (the wire-efficient path: 1 byte/px H2D, normalized on-device to
+        identical values). Returns same-shape restored image(s), computed
+        at pad-to-x32 resolution then cropped
+        (image_restoration_model.py:581-583 protocol).
+
+        output: 'float32' (default) or 'uint8' — on-device tensor2img
+        quantization (clip/round, bit-identical to saving a PNG from the
+        float output), 1 byte/px D2H. Host<->device transfer is the
+        serving bottleneck behind a thin pipe, so uint8-in/uint8-out cuts
+        wire bytes 4x each way vs f32."""
+        if output not in ("float32", "uint8"):
+            raise ValueError(output)
         squeeze = img.ndim == 3
         if squeeze:
             img = img[None]
-        n_real = img.shape[0]
+        img = np.asarray(img)
+        from_uint8 = img.dtype == np.uint8
+        n_real, h, w = img.shape[:3]
         if self.mesh is not None:
             # batch zero-padded to a mesh multiple so the shard is even
             n_dev = self.mesh.devices.size
@@ -141,10 +182,23 @@ class FDNPredictor:
                 img = np.concatenate(
                     [img, np.zeros((pad_n,) + img.shape[1:],
                                    img.dtype)], axis=0)
-        x = jnp.asarray(img, self.dtype)
-        x, hw = pad_to_multiple(x, 32)
+        # x32 reflect pad on the HOST (numpy) — avoids an eager device
+        # dispatch per request; semantics identical to ops.pad_to_multiple
+        ph, pw = (-h) % 32, (-w) % 32
+        if ph or pw:
+            img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                         mode="reflect")
+        if not from_uint8 and self.dtype == jnp.bfloat16:
+            # cast to bf16 on the HOST so the H2D transfer ships half
+            # the bytes (the tunnel/PCIe pipe is the serving bottleneck;
+            # see OPTIMIZATIONS.md round-4 serving-latency entry);
+            # ml_dtypes is the numpy bf16 jax itself uses
+            import ml_dtypes
+            img = img.astype(ml_dtypes.bfloat16)
+        x = jnp.asarray(img)  # uint8 ships as-is; normalized on device
+        to_uint8 = output == "uint8"
         if ratio is None:
-            fn = self._compiled(x.shape, False)
+            fn = self._compiled(x.shape, False, from_uint8, to_uint8)
             out = fn(self.fdn_params, self.lpnet_params, x)
         else:
             ratio = np.asarray(ratio, np.float32).reshape(-1, 1)
@@ -153,10 +207,13 @@ class FDNPredictor:
                     [ratio, np.full((x.shape[0] - ratio.shape[0], 1), 0.5,
                                     np.float32)], axis=0)
             ratio = jnp.asarray(ratio, self.dtype)
-            fn = self._compiled(x.shape, True)
+            fn = self._compiled(x.shape, True, from_uint8, to_uint8)
             out = fn(self.fdn_params, x, ratio)
-        out = unpad(out, hw)[:n_real]
-        out = np.asarray(out.astype(jnp.float32))
+        # D2H in the wire dtype (uint8/bf16 halve or quarter the bytes),
+        # crop + f32 cast on the host
+        out = np.asarray(out)[:n_real, :h, :w]
+        if not to_uint8:
+            out = out.astype(np.float32)
         return out[0] if squeeze else out
 
     def predict_ratio(self, img):

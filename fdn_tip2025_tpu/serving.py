@@ -51,12 +51,21 @@ class MicroBatcher:
     are dispatched on consecutive drains).
     """
 
-    def __init__(self, predictor, max_batch=8, window_ms=5.0):
+    def __init__(self, predictor, max_batch=8, window_ms=5.0,
+                 output="float32", pipeline_depth=2):
         self.predictor = predictor
         self.max_batch = int(max_batch)
         self.window_ms = float(window_ms)
+        self.output = output  # predictor output dtype ('uint8' = 1 B/px D2H)
+        # dispatch pool: restore() blocks on the D2H fetch, so running
+        # `pipeline_depth` group dispatches concurrently lets batch N+1's
+        # H2D/compute overlap batch N's compute/D2H on the device stream
+        # (groups are independent; completion order is irrelevant)
+        import concurrent.futures as cf
+        self._pool = cf.ThreadPoolExecutor(max(1, int(pipeline_depth)))
         self.q = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "images": 0}
+        self._stats_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -75,10 +84,12 @@ class MicroBatcher:
         self._stop.set()
         self.q.put(None)  # wake the worker
         self._thread.join(timeout=5)
+        self._pool.shutdown(wait=True)
 
     # ------------------------------------------------------------------
     def _key(self, p):
-        return (_bucket_shape(*p.img.shape[:2]), p.ratio is not None)
+        return (_bucket_shape(*p.img.shape[:2]), p.ratio is not None,
+                p.img.dtype == np.uint8)
 
     def _run(self):
         while not self._stop.is_set():
@@ -105,10 +116,10 @@ class MicroBatcher:
                     leftovers.append(p)
             for p in leftovers:  # different bucket: next drain
                 self.q.put(p)
-            self._dispatch(group, key)
+            self._pool.submit(self._dispatch, group, key)
 
     def _dispatch(self, group, key):
-        (bh, bw), with_ratio = key
+        (bh, bw), with_ratio, _u8 = key
         try:
             # pad every image of the bucket to the exact bucket shape so
             # they stack (reflect-pad like the x32 protocol; the
@@ -122,16 +133,17 @@ class MicroBatcher:
             ratios = ([p.ratio for p in group] if with_ratio else None)
             out = self.predictor.restore(
                 padded, ratio=np.asarray(ratios, np.float32)
-                if with_ratio else None)
+                if with_ratio else None, output=self.output)
             for p, o in zip(group, out):
                 p.out = o[:p.img.shape[0], :p.img.shape[1]]
         except Exception as e:  # noqa: BLE001 — propagate to waiters
             for p in group:
                 p.error = e
         finally:
-            self.stats["requests"] += len(group)
-            self.stats["images"] += len(group)
-            self.stats["batches"] += 1
+            with self._stats_lock:  # dispatches run on pool threads
+                self.stats["requests"] += len(group)
+                self.stats["images"] += len(group)
+                self.stats["batches"] += 1
             for p in group:
                 p.event.set()
 
@@ -173,13 +185,19 @@ def make_http_server(batcher, host="0.0.0.0", port=8700):
                 return self._send(400, b'{"error": "undecodable image"}')
             qs = parse_qs(url.query)
             ratio = (float(qs["ratio"][0]) if "ratio" in qs else None)
-            img = buf[..., ::-1].astype(np.float32) / 255.0  # BGR->RGB
+            # uint8 stays uint8 on the wire: normalize/quantize run
+            # on-device (4x fewer host<->device bytes than f32)
+            img = np.ascontiguousarray(buf[..., ::-1])  # BGR->RGB
             try:
                 out = batcher.submit(img, ratio)
             except Exception as e:  # noqa: BLE001 — report to client
                 return self._send(
                     500, json.dumps({"error": repr(e)}).encode())
-            out8 = np.clip(np.round(out * 255.0), 0, 255).astype(np.uint8)
+            if out.dtype == np.uint8:
+                out8 = out
+            else:
+                out8 = np.clip(np.round(out * 255.0), 0,
+                               255).astype(np.uint8)
             ok, png = cv2.imencode(".png", out8[..., ::-1])  # RGB->BGR
             if not ok:
                 return self._send(500, b'{"error": "encode failed"}')

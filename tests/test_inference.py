@@ -40,6 +40,39 @@ def test_predictor_explicit_ratio_batch(rng, predictor):
     assert np.abs(out[0] - out[1]).max() > 1e-4
 
 
+def test_uint8_wire_format(rng, predictor, monkeypatch):
+    """uint8-in/uint8-out plumbing is exact: device-side normalize
+    (n/255 in f32) and tensor2img quantization around a deterministic
+    stand-in forward. (Cross-program comparison through the real FDN is
+    meaningless with random weights — measured chaos, OPTIMIZATIONS.md;
+    the real-model path is exercised by the trained-weights cross-check
+    tool.)"""
+    import jax.numpy as jnp
+
+    def fake_fwd(params, x, ratio):
+        return (x * jnp.asarray(0.5, x.dtype) + jnp.asarray(0.25, x.dtype),)
+
+    monkeypatch.setattr(predictor, "_fdn_fwd", fake_fwd)
+    u8 = rng.integers(0, 256, (30, 44, 3), dtype=np.uint8)
+    ratio = np.array([0.5], np.float32)
+
+    # f32 egress with uint8 ingress: device normalize matches the host
+    # f32 divide to <=1 ULP (XLA lowers /255 to *(1/255))
+    out_f = predictor.restore(u8, ratio=ratio)
+    ref = u8.astype(np.float32) / 255.0 * 0.5 + 0.25
+    np.testing.assert_allclose(out_f, ref.astype(np.float32),
+                               rtol=3e-7, atol=1e-7)
+
+    # uint8 egress: on-device tensor2img (clip/round half-even)
+    out_u = predictor.restore(u8, ratio=ratio, output="uint8")
+    assert out_u.dtype == np.uint8
+    np.testing.assert_array_equal(
+        out_u, np.round(np.clip(ref, 0, 1) * 255.0).astype(np.uint8))
+
+    # pad/crop round trip unaffected by the wire dtype
+    assert out_u.shape == u8.shape
+
+
 def test_tiled_restore_with_mesh(rng):
     from fdn_tip2025_tpu.parallel.spatial import tiled_restore
     from fdn_tip2025_tpu.parallel.mesh import make_mesh

@@ -18,12 +18,16 @@ class ToyPredictor:
     def __init__(self):
         self.calls = []
 
-    def restore(self, imgs, ratio=None):
+    def restore(self, imgs, ratio=None, output="float32"):
         self.calls.append((imgs.shape, None if ratio is None
                            else np.asarray(ratio).shape))
-        out = np.tanh(imgs * 2.0)
+        x = (imgs.astype(np.float32) / 255.0
+             if imgs.dtype == np.uint8 else imgs)
+        out = np.tanh(x * 2.0)
         if ratio is not None:
             out = out + np.asarray(ratio, np.float32).reshape(-1, 1, 1, 1)
+        if output == "uint8":
+            return np.round(np.clip(out, 0, 1) * 255.0).astype(np.uint8)
         return out
 
 
@@ -86,9 +90,39 @@ def test_microbatcher_mixed_buckets_and_ratio(rng):
         mb.close()
 
 
+def test_microbatcher_uint8_wire(rng):
+    """uint8 requests group together (never stacked with f32 ones) and a
+    uint8-output batcher returns quantized images."""
+    pred = ToyPredictor()
+    mb = MicroBatcher(pred, max_batch=4, window_ms=30.0, output="uint8")
+    try:
+        u8 = (rng.random((30, 40, 3)) * 255).astype(np.uint8)
+        f32 = rng.random((30, 40, 3), dtype=np.float32)
+        outs = {}
+
+        def worker(k, img):
+            outs[k] = mb.submit(img)
+
+        threads = [threading.Thread(target=worker, args=args)
+                   for args in [("u", u8), ("f", f32), ("u2", u8)]]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # same bucket but different wire dtype -> separate batches
+        assert mb.stats["batches"] == 2
+        exp = np.round(np.clip(_expected(u8.astype(np.float32) / 255.0),
+                               0, 1) * 255.0).astype(np.uint8)
+        np.testing.assert_array_equal(outs["u"], exp)
+        np.testing.assert_array_equal(outs["u2"], exp)
+        assert outs["f"].dtype == np.uint8  # batcher-level output dtype
+    finally:
+        mb.close()
+
+
 def test_microbatcher_propagates_errors(rng):
     class Boom:
-        def restore(self, imgs, ratio=None):
+        def restore(self, imgs, ratio=None, output="float32"):
             raise RuntimeError("boom")
 
     mb = MicroBatcher(Boom(), max_batch=2, window_ms=1.0)

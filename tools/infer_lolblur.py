@@ -23,7 +23,7 @@ from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
 force_platform()  # FDN_DEVICE=cpu to force CPU (sitecustomize pins TPU)
 
 from fdn_tip2025_tpu.inference import FDNPredictor  # noqa: E402
-from fdn_tip2025_tpu.utils.img_io import imread, imwrite, tensor2img  # noqa
+from fdn_tip2025_tpu.utils.img_io import imread, imwrite  # noqa: E402
 
 
 def main():
@@ -47,11 +47,14 @@ def main():
     t0 = time.time()
     mp = 0.0
     for i, path in enumerate(paths):
-        img = imread(path)
-        out = pred.restore(img)
+        # uint8 wire format: ship decode bytes as-is, device-side
+        # normalize + tensor2img quantization (bit-identical PNGs to the
+        # f32 path, 4x fewer host<->device bytes)
+        img = imread(path, float32=False)
+        out = pred.restore(img, output="uint8")
         mp += img.shape[0] * img.shape[1] / 1e6
         rel = os.path.join(*path.split(os.sep)[-2:])
-        imwrite(tensor2img(out), os.path.join(args.output, rel))
+        imwrite(out[..., ::-1], os.path.join(args.output, rel))
         if i == 0:
             t0 = time.time()  # exclude compile
             mp = 0.0

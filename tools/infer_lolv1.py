@@ -15,7 +15,7 @@ from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
 force_platform()  # FDN_DEVICE=cpu to force CPU (sitecustomize pins TPU)
 
 from fdn_tip2025_tpu.inference import FDNPredictor  # noqa: E402
-from fdn_tip2025_tpu.utils.img_io import imread, imwrite, tensor2img  # noqa
+from fdn_tip2025_tpu.utils.img_io import imread, imwrite  # noqa: E402
 
 
 def main():
@@ -30,8 +30,10 @@ def main():
     pred = FDNPredictor(variant="lolv1", fdn_ckpt=args.fdn_ckpt,
                         lpnet_ckpt=args.lpnet_ckpt)
     for path in sorted(glob.glob(args.input)):
-        out = pred.restore(imread(path))
-        imwrite(tensor2img(out),
+        # uint8 wire format (device-side normalize/quantize) —
+        # bit-identical PNGs to the f32 path
+        out = pred.restore(imread(path, float32=False), output="uint8")
+        imwrite(out[..., ::-1],
                 os.path.join(args.output, os.path.basename(path)))
 
 

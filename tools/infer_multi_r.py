@@ -20,7 +20,7 @@ from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
 force_platform()  # FDN_DEVICE=cpu to force CPU (sitecustomize pins TPU)
 
 from fdn_tip2025_tpu.inference import FDNPredictor  # noqa: E402
-from fdn_tip2025_tpu.utils.img_io import imread, imwrite, tensor2img  # noqa
+from fdn_tip2025_tpu.utils.img_io import imread, imwrite  # noqa: E402
 
 
 def main():
@@ -32,15 +32,16 @@ def main():
     ap.add_argument("--batch", type=int, default=10)
     args = ap.parse_args()
 
-    img = imread(args.input)
+    img = imread(args.input, float32=False)  # uint8 wire format
     pred = FDNPredictor(variant="lolblur", fdn_ckpt=args.fdn_ckpt)
     ratios = np.arange(args.steps) / args.steps
     for start in range(0, len(ratios), args.batch):
         chunk = ratios[start:start + args.batch]
         batch = np.repeat(img[None], len(chunk), axis=0)
-        outs = pred.restore(batch, ratio=chunk.astype(np.float32))
+        outs = pred.restore(batch, ratio=chunk.astype(np.float32),
+                            output="uint8")
         for r, out in zip(chunk, outs):
-            imwrite(tensor2img(out),
+            imwrite(out[..., ::-1],
                     os.path.join(args.output, f"{r:.2f}.png"))
 
 

@@ -64,11 +64,13 @@ def main():
         mesh=make_mesh(args.mesh) if args.mesh else None)
     if args.warmup_hw:
         h, w = (int(v) for v in args.warmup_hw.split(","))
-        pred.restore(np.zeros((h, w, 3), np.float32))
+        pred.restore(np.zeros((h, w, 3), np.uint8), output="uint8")
         print(f"warmed up at {h}x{w}", flush=True)
 
+    # uint8 in/out on the wire: decode bytes ship as-is, quantization to
+    # PNG-ready uint8 runs on-device (4x fewer transfer bytes than f32)
     batcher = MicroBatcher(pred, max_batch=args.max_batch,
-                           window_ms=args.window_ms)
+                           window_ms=args.window_ms, output="uint8")
     srv = make_http_server(batcher, args.host, args.port)
     print(f"serving on {args.host}:{args.port} "
           f"(dtype={args.dtype}, mesh={args.mesh or 1})", flush=True)
