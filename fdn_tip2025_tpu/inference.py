@@ -92,11 +92,12 @@ class FDNPredictor:
             self.fdn_params = replicate_tree(self.fdn_params, mesh)
             self.lpnet_params = replicate_tree(self.lpnet_params, mesh)
         self._jit_cache = {}
-        self._cache_lock = threading.Lock()
 
     def _compiled(self, shape, with_ratio, from_uint8, to_uint8):
         key = (shape, with_ratio, from_uint8, to_uint8)
-        with self._cache_lock:  # concurrent serving dispatch threads
+        # lazy + atomic under the GIL (tests build predictors via __new__)
+        lock = self.__dict__.setdefault("_cache_lock", threading.Lock())
+        with lock:  # concurrent serving dispatch threads
             return self._compiled_locked(key, with_ratio,
                                          from_uint8, to_uint8)
 
