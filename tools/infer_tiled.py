@@ -58,7 +58,11 @@ def main():
     batch = args.batch or n_dev
     pred = FDNPredictor(variant="lolblur", fdn_ckpt=args.fdn_ckpt,
                         lpnet_ckpt=args.lpnet_ckpt)
-    img = imread(args.input)
+    # uint8 wire: tiles ship 1 B/px (a 4K image is ~100 MB as f32 tiles
+    # plus overlap — transfer dominates behind a thin pipe); normalize
+    # runs on-device inside fwd. Stitching stays f32 (count averaging).
+    img_u8 = imread(args.input, float32=False)
+    img = img_u8.astype(np.float32) / 255.0
 
     if args.ratio is not None:
         ratio = float(args.ratio)
@@ -77,10 +81,11 @@ def main():
 
     @jax.jit
     def fwd(tiles):
-        return fdn_forward(pred.fdn_params, tiles, rj)[0]
+        x = tiles.astype(jnp.float32) / 255.0
+        return fdn_forward(pred.fdn_params, x, rj)[0]
 
-    out = tiled_restore(fwd, img, args.crop, args.crop, batch_size=batch,
-                        mesh=mesh)
+    out = tiled_restore(fwd, img_u8, args.crop, args.crop,
+                        batch_size=batch, mesh=mesh)
     imwrite(tensor2img(out), args.output)
     print(f"wrote {args.output} ({img.shape[0]}x{img.shape[1]})")
 
