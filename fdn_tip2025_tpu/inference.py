@@ -220,5 +220,8 @@ class FDNPredictor:
     def predict_ratio(self, img):
         if img.ndim == 3:
             img = img[None]
+        img = np.asarray(img)
+        if img.dtype == np.uint8:  # uint8 wire callers
+            img = img.astype(np.float32) / 255.0
         x = jnp.asarray(img, jnp.float32)  # LPNet always serves in f32
         return np.asarray(ipredict_forward(self.lpnet_params, x))
