@@ -217,6 +217,73 @@ class FDNPredictor:
             out = out.astype(np.float32)
         return out[0] if squeeze else out
 
+    def restore_tiled(self, img, crop=384, ratio=None, batch_size=None,
+                      output="float32"):
+        """Beyond-bucket restore: the reference's grids/grids_inverse
+        overlapped crop-and-stitch protocol
+        (image_restoration_model.py:261-339) as a predictor method —
+        tiles ride one static-shape jit (cached per (crop, batch)), ship
+        uint8 when `img` is uint8, and shard over self.mesh if set.
+
+        ratio: global brightness ratio; default = LPNet on a <=1024px
+        bilinear thumbnail (the ratio is global, not per tile)."""
+        from fdn_tip2025_tpu.parallel.spatial import tiled_restore
+        from fdn_tip2025_tpu.ops import interp_bilinear
+
+        if output not in ("float32", "uint8"):
+            raise ValueError(output)
+        if crop % 32:
+            raise ValueError("crop must be a multiple of 32")
+        img = np.asarray(img)
+        from_uint8 = img.dtype == np.uint8
+        h, w = img.shape[:2]
+        if h < crop or w < crop:  # smaller than a tile: plain restore
+            return self.restore(img, ratio=ratio, output=output)
+        if ratio is None:
+            thumb = (img.astype(np.float32) / 255.0 if from_uint8
+                     else img)
+            while max(thumb.shape[:2]) > 1024:
+                thumb = np.asarray(interp_bilinear(
+                    jnp.asarray(thumb)[None], 0.5))[0]
+            ratio = float(self.predict_ratio(thumb)[0, 0])
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        bs = batch_size or max(4, n_dev)
+
+        key = ("tiled", crop, bs, from_uint8)
+        lock = self.__dict__.setdefault("_cache_lock", threading.Lock())
+        with lock:
+            if key not in self._jit_cache:
+                jit_kw = {}
+                if self.mesh is not None:
+                    rep = replicated(self.mesh)
+                    bsh = batch_sharding(self.mesh)
+                    jit_kw = dict(in_shardings=(rep, bsh, rep),
+                                  out_shardings=bsh)
+
+                def fn(fdn_p, tiles, rj):
+                    x = tiles
+                    if from_uint8:
+                        x = x.astype(jnp.float32) / 255.0
+                    x = x.astype(self.dtype)
+                    rb = jnp.broadcast_to(rj, (x.shape[0], 1))
+                    out = self._fdn_fwd(fdn_p, x, rb.astype(x.dtype))[0]
+                    # stitch (count averaging) runs on the host in f32;
+                    # D2H stays in the serving dtype
+                    return out
+
+                self._jit_cache[key] = jax.jit(fn, **jit_kw)
+        fn = self._jit_cache[key]
+        rj = jnp.asarray([[np.float32(ratio)]], self.dtype)
+
+        out = tiled_restore(
+            lambda tiles: np.asarray(
+                fn(self.fdn_params, tiles, rj)).astype(np.float32),
+            img, crop, crop, batch_size=bs, mesh=self.mesh)
+        if output == "uint8":
+            return np.round(np.clip(out, 0.0, 1.0) * 255.0).astype(
+                np.uint8)
+        return out.astype(np.float32)
+
     def predict_ratio(self, img):
         if img.ndim == 3:
             img = img[None]

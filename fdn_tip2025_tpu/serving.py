@@ -52,11 +52,17 @@ class MicroBatcher:
     """
 
     def __init__(self, predictor, max_batch=8, window_ms=5.0,
-                 output="float32", pipeline_depth=2):
+                 output="float32", pipeline_depth=2,
+                 tile_above_px=None, tile_crop=384):
         self.predictor = predictor
         self.max_batch = int(max_batch)
         self.window_ms = float(window_ms)
         self.output = output  # predictor output dtype ('uint8' = 1 B/px D2H)
+        # beyond-bucket requests (> tile_above_px pixels) bypass batching
+        # and run the grids-protocol tiled restore instead of compiling
+        # (and possibly OOMing) a fresh huge bucket
+        self.tile_above_px = tile_above_px
+        self.tile_crop = int(tile_crop)
         # dispatch pool: restore() blocks on the D2H fetch, so running
         # `pipeline_depth` group dispatches concurrently lets batch N+1's
         # H2D/compute overlap batch N's compute/D2H on the device stream
@@ -71,7 +77,12 @@ class MicroBatcher:
         self._thread.start()
 
     def submit(self, img, ratio=None, timeout=120.0):
-        """img: (H, W, 3) float32 [0,1]. Blocks until the batch runs."""
+        """img: (H, W, 3) float32 [0,1] or uint8. Blocks until the batch
+        runs (oversize images run tiled immediately on this thread)."""
+        if (self.tile_above_px
+                and img.shape[0] * img.shape[1] > self.tile_above_px):
+            return self.predictor.restore_tiled(
+                img, crop=self.tile_crop, ratio=ratio, output=self.output)
         p = _Pending(img, ratio)
         self.q.put(p)
         if not p.event.wait(timeout):

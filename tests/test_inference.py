@@ -73,6 +73,36 @@ def test_uint8_wire_format(rng, predictor, monkeypatch):
     assert out_u.shape == u8.shape
 
 
+def test_restore_tiled_matches_plain(rng, predictor, monkeypatch):
+    """restore_tiled (grids protocol as a predictor method) with a
+    pointwise stand-in forward: overlap averaging of identical values
+    reproduces the plain pointwise result, on both wire dtypes."""
+    import jax.numpy as jnp
+
+    def fake_fwd(params, x, ratio):
+        return (x * jnp.asarray(0.5, x.dtype) + jnp.asarray(0.25, x.dtype),)
+
+    monkeypatch.setattr(predictor, "_fdn_fwd", fake_fwd)
+    u8 = rng.integers(0, 256, (48, 72, 3), dtype=np.uint8)
+    ref = u8.astype(np.float32) / 255.0 * 0.5 + 0.25
+
+    out = predictor.restore_tiled(u8, crop=32, ratio=0.4, batch_size=2)
+    np.testing.assert_allclose(out, ref, rtol=3e-7, atol=2e-7)
+
+    out8 = predictor.restore_tiled(u8, crop=32, ratio=0.4, batch_size=2,
+                                   output="uint8")
+    assert out8.dtype == np.uint8
+    np.testing.assert_array_equal(
+        out8, np.round(np.clip(out, 0, 1) * 255.0).astype(np.uint8))
+
+    # smaller than one tile: falls back to the plain bucketed restore
+    small = u8[:20, :24]
+    out_s = predictor.restore_tiled(small, crop=32, ratio=0.4)
+    np.testing.assert_allclose(
+        out_s, small.astype(np.float32) / 255.0 * 0.5 + 0.25,
+        rtol=3e-7, atol=2e-7)
+
+
 def test_tiled_restore_with_mesh(rng):
     from fdn_tip2025_tpu.parallel.spatial import tiled_restore
     from fdn_tip2025_tpu.parallel.mesh import make_mesh

@@ -120,6 +120,35 @@ def test_microbatcher_uint8_wire(rng):
         mb.close()
 
 
+def test_microbatcher_tiled_route(rng):
+    """Oversize requests bypass batching and run the tiled restore."""
+    class TiledToy(ToyPredictor):
+        def __init__(self):
+            super().__init__()
+            self.tiled_calls = []
+
+        def restore_tiled(self, img, crop=384, ratio=None,
+                          output="float32"):
+            self.tiled_calls.append((img.shape, crop))
+            return self.restore(img[None], ratio=None,
+                                output=output)[0]
+
+    pred = TiledToy()
+    mb = MicroBatcher(pred, max_batch=2, window_ms=1.0,
+                      tile_above_px=32 * 32, tile_crop=32)
+    try:
+        big = rng.random((40, 40, 3), dtype=np.float32)
+        small = rng.random((16, 16, 3), dtype=np.float32)
+        out_big = mb.submit(big)
+        out_small = mb.submit(small)
+        assert pred.tiled_calls == [((40, 40, 3), 32)]
+        np.testing.assert_allclose(out_big, _expected(big), atol=1e-6)
+        np.testing.assert_allclose(out_small, _expected(small), atol=1e-6)
+        assert mb.stats["batches"] == 1  # only the small one batched
+    finally:
+        mb.close()
+
+
 def test_microbatcher_propagates_errors(rng):
     class Boom:
         def restore(self, imgs, ratio=None, output="float32"):

@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--port", type=int, default=8700)
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--window-ms", type=float, default=5.0)
+    ap.add_argument("--tile-above-mp", type=float, default=2.5,
+                    help="requests over this many megapixels run the "
+                         "grids-protocol tiled restore instead of a "
+                         "dedicated jit bucket (0 disables)")
+    ap.add_argument("--tile-crop", type=int, default=384)
     ap.add_argument("--warmup-hw", default=None,
                     help="H,W to compile at startup (e.g. 640,1120) so "
                          "the first request doesn't pay the jit")
@@ -69,8 +74,11 @@ def main():
 
     # uint8 in/out on the wire: decode bytes ship as-is, quantization to
     # PNG-ready uint8 runs on-device (4x fewer transfer bytes than f32)
-    batcher = MicroBatcher(pred, max_batch=args.max_batch,
-                           window_ms=args.window_ms, output="uint8")
+    batcher = MicroBatcher(
+        pred, max_batch=args.max_batch, window_ms=args.window_ms,
+        output="uint8",
+        tile_above_px=int(args.tile_above_mp * 1e6) or None,
+        tile_crop=args.tile_crop)
     srv = make_http_server(batcher, args.host, args.port)
     print(f"serving on {args.host}:{args.port} "
           f"(dtype={args.dtype}, mesh={args.mesh or 1})", flush=True)
