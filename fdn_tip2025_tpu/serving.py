@@ -159,9 +159,12 @@ class MicroBatcher:
                 p.event.set()
 
 
-def make_http_server(batcher, host="0.0.0.0", port=8700):
+def make_http_server(batcher, host="0.0.0.0", port=8700,
+                     max_body_bytes=64 << 20):
     """ThreadingHTTPServer: POST /restore (image body -> PNG),
-    GET /healthz (JSON liveness + batcher stats)."""
+    GET /healthz (JSON liveness + batcher stats). Bodies over
+    max_body_bytes (default 64 MiB — a 16 MP PNG is well under) are
+    rejected with 413 before being read into memory."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
     from urllib.parse import urlparse, parse_qs
 
@@ -189,6 +192,10 @@ def make_http_server(batcher, host="0.0.0.0", port=8700):
             if url.path != "/restore":
                 return self._send(404, b'{"error": "not found"}')
             n = int(self.headers.get("Content-Length", 0))
+            if n <= 0:
+                return self._send(400, b'{"error": "empty body"}')
+            if n > max_body_bytes:
+                return self._send(413, b'{"error": "body too large"}')
             raw = self.rfile.read(n)
             buf = cv2.imdecode(np.frombuffer(raw, np.uint8),
                                cv2.IMREAD_COLOR)

@@ -195,3 +195,32 @@ def test_http_server_roundtrip(rng):
     finally:
         srv.shutdown()
         mb.close()
+
+
+def test_http_server_body_limits(rng):
+    pred = ToyPredictor()
+    mb = MicroBatcher(pred, max_batch=2, window_ms=1.0)
+    srv = make_http_server(mb, host="127.0.0.1", port=0,
+                           max_body_bytes=64)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        import urllib.error
+
+        def post(data):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/restore", data=data,
+                method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=10) as resp:
+                    return resp.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert post(b"x" * 100) == 413   # over max_body_bytes
+        assert post(b"") == 400          # empty body
+        assert post(b"notanimage") == 400
+    finally:
+        srv.shutdown()
+        mb.close()
