@@ -24,10 +24,26 @@ class PairedImageDataset:
         """opt keys: dataroot_gt, dataroot_lq (glob patterns), phase
         ('train'|'val'), gt_size, use_flip, use_rot, scale (default 1),
         native (bool: use the C++ decode/augment pipeline when built —
-        default on; env FDN_NATIVE_LOADER=0 disables globally)."""
+        default on; env FDN_NATIVE_LOADER=0 disables globally).
+
+        io_backend: {type: pack, pack_gt: <.fdnpack>, pack_lq: <.fdnpack>}
+        reads from FDNPack single-file datasets (tools/create_pack.py) —
+        the working analog of the reference's declared-but-ignored
+        `io_backend: lmdb` (paired_image_dataset.py:61-80). Entries are
+        the original encoded bytes, so outputs are bit-identical to the
+        glob/disk path."""
         self.opt = opt
-        self.gt_paths = sorted(glob.glob(opt["dataroot_gt"]))
-        self.lq_paths = sorted(glob.glob(opt["dataroot_lq"]))
+        self._packs = None
+        io = opt.get("io_backend") or {}
+        if io.get("type") == "pack":
+            from fdn_tip2025_tpu.data.pack import PackReader
+            self._packs = (PackReader(io["pack_lq"]),
+                           PackReader(io["pack_gt"]))
+            self.lq_paths = self._packs[0].keys()
+            self.gt_paths = self._packs[1].keys()
+        else:
+            self.gt_paths = sorted(glob.glob(opt["dataroot_gt"]))
+            self.lq_paths = sorted(glob.glob(opt["dataroot_lq"]))
         if len(self.gt_paths) != len(self.lq_paths):
             raise ValueError(
                 f"paired length mismatch: {len(self.gt_paths)} gt vs "
@@ -35,7 +51,8 @@ class PairedImageDataset:
         self.scale = int(opt.get("scale", 1))
         self.is_train = opt.get("phase", "train") == "train"
         self._native = None
-        if (opt.get("native", True) and self.is_train and self.scale == 1
+        if (self._packs is None and opt.get("native", True)
+                and self.is_train and self.scale == 1
                 and os.environ.get("FDN_NATIVE_LOADER") != "0"):
             from fdn_tip2025_tpu import native
             if native.available():
@@ -72,8 +89,17 @@ class PairedImageDataset:
                         "gt_path": self.gt_paths[idx]}
             except IOError:
                 pass  # unsupported format on this sample: cv2 fallback
-        gt = imread(self.gt_paths[idx])
-        lq = imread(self.lq_paths[idx])
+        if self._packs is not None:
+            from fdn_tip2025_tpu.utils.file_client import imfrombytes
+            lq = np.ascontiguousarray(imfrombytes(
+                self._packs[0].get(self.lq_paths[idx]),
+                float32=True)[..., ::-1])  # BGR -> RGB
+            gt = np.ascontiguousarray(imfrombytes(
+                self._packs[1].get(self.gt_paths[idx]),
+                float32=True)[..., ::-1])
+        else:
+            gt = imread(self.gt_paths[idx])
+            lq = imread(self.lq_paths[idx])
         if self.is_train:
             gt_size = self.opt["gt_size"]
             lq, gt = padding_min_size(lq, gt, gt_size)

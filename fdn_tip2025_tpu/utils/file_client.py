@@ -37,11 +37,24 @@ class MemcachedBackend:
         raise ImportError("memcached client not available in this image")
 
 
+class PackBackend:
+    """FDNPack single-file dataset backend — the dependency-free LMDB
+    analog (data/pack.py). Keys are pack-relative paths."""
+
+    def __init__(self, pack_path):
+        from fdn_tip2025_tpu.data.pack import PackReader
+        self._reader = PackReader(pack_path)
+
+    def get(self, key):
+        return self._reader.get(key)
+
+
 class FileClient:
     _backends = {
         "disk": HardDiskBackend,
         "lmdb": LmdbBackend,
         "memcached": MemcachedBackend,
+        "pack": PackBackend,
     }
 
     def __init__(self, backend="disk", **kwargs):
