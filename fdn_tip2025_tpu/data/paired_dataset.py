@@ -51,8 +51,7 @@ class PairedImageDataset:
         self.scale = int(opt.get("scale", 1))
         self.is_train = opt.get("phase", "train") == "train"
         self._native = None
-        if (self._packs is None and opt.get("native", True)
-                and self.is_train and self.scale == 1
+        if (opt.get("native", True) and self.is_train and self.scale == 1
                 and os.environ.get("FDN_NATIVE_LOADER") != "0"):
             from fdn_tip2025_tpu import native
             if native.available():
@@ -79,11 +78,22 @@ class PairedImageDataset:
         if self._native is not None:
             gt_size = self.opt["gt_size"]
             try:
-                h, w = self._native.image_dims(self.lq_paths[idx])
-                top, left, do_h, do_v, do_r = self._draw(rng, h, w, gt_size)
-                lq, gt = self._native.load_pair(
-                    self.lq_paths[idx], self.gt_paths[idx], top, left,
-                    gt_size, do_h, do_v, do_r)
+                if self._packs is not None:
+                    lq_bytes = self._packs[0].get(self.lq_paths[idx])
+                    gt_bytes = self._packs[1].get(self.gt_paths[idx])
+                    h, w = self._native.image_dims_mem(lq_bytes)
+                    top, left, do_h, do_v, do_r = self._draw(
+                        rng, h, w, gt_size)
+                    lq, gt = self._native.load_pair_mem(
+                        lq_bytes, gt_bytes, top, left, gt_size,
+                        do_h, do_v, do_r)
+                else:
+                    h, w = self._native.image_dims(self.lq_paths[idx])
+                    top, left, do_h, do_v, do_r = self._draw(
+                        rng, h, w, gt_size)
+                    lq, gt = self._native.load_pair(
+                        self.lq_paths[idx], self.gt_paths[idx], top, left,
+                        gt_size, do_h, do_v, do_r)
                 return {"lq": lq, "gt": gt,
                         "lq_path": self.lq_paths[idx],
                         "gt_path": self.gt_paths[idx]}

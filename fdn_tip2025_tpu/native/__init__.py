@@ -57,6 +57,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+    lib.fdn_image_dims_mem.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.fdn_load_pair_mem.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+        ctypes.c_size_t, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return _lib
 
@@ -107,6 +115,31 @@ def load_pair(lq_path, gt_path, top, left, crop, do_h, do_v, do_r):
         gt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     if rc:
         raise IOError(f"{lq_path} / {gt_path}: {_err(lib)}")
+    return lq, gt
+
+
+def image_dims_mem(data):
+    """(h, w) from encoded bytes — no full decode (FDNPack entries)."""
+    lib = _load()
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.fdn_image_dims_mem(data, len(data), ctypes.byref(h),
+                              ctypes.byref(w)):
+        raise IOError(f"buffer: {_err(lib)}")
+    return h.value, w.value
+
+
+def load_pair_mem(lq_bytes, gt_bytes, top, left, crop, do_h, do_v, do_r):
+    """load_pair from encoded bytes (FDNPack path) — same contract."""
+    lib = _load()
+    lq = np.empty((crop, crop, 3), np.float32)
+    gt = np.empty((crop, crop, 3), np.float32)
+    rc = lib.fdn_load_pair_mem(
+        lq_bytes, len(lq_bytes), gt_bytes, len(gt_bytes), int(top),
+        int(left), int(crop), int(do_h), int(do_v), int(do_r),
+        lq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        gt.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc:
+        raise IOError(f"pack entry: {_err(lib)}")
     return lq, gt
 
 

@@ -41,29 +41,42 @@ void set_err(const char* msg) {
 }
 
 // ------------------------------------------------------------ PNG decode
-bool decode_png(const char* path, std::vector<uint8_t>* rgb, int* h,
-                int* w) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) {
-    set_err("fopen failed");
-    return false;
+// Memory source: all decoding is buffer-based; the file entry points
+// read the bytes once and reuse this path (identical decode either way,
+// and it is what the FDNPack single-file dataset feeds directly).
+struct MemSrc {
+  const uint8_t* data;
+  size_t size;
+  size_t pos;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+  MemSrc* src = static_cast<MemSrc*>(png_get_io_ptr(png));
+  if (src->pos + n > src->size) {
+    png_error(png, "read past end of buffer");
+    return;
   }
+  std::memcpy(out, src->data + src->pos, n);
+  src->pos += n;
+}
+
+bool decode_png_mem(const uint8_t* data, size_t size,
+                    std::vector<uint8_t>* rgb, int* h, int* w) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr,
                                            nullptr, nullptr);
   png_infop info = png ? png_create_info_struct(png) : nullptr;
   if (!png || !info) {
     if (png) png_destroy_read_struct(&png, &info, nullptr);
-    std::fclose(f);
     set_err("png alloc failed");
     return false;
   }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
-    std::fclose(f);
     set_err("png decode error");
     return false;
   }
-  png_init_io(png, f);
+  MemSrc src{data, size, 0};
+  png_set_read_fn(png, &src, png_mem_read);
   png_read_info(png, info);
   // Normalize to 8-bit RGB exactly like cv2.IMREAD_COLOR: strip 16->8,
   // palette->rgb, gray->rgb, drop alpha.
@@ -80,7 +93,6 @@ bool decode_png(const char* path, std::vector<uint8_t>* rgb, int* h,
   const int W = static_cast<int>(png_get_image_width(png, info));
   if (png_get_rowbytes(png, info) != static_cast<size_t>(W) * 3) {
     png_destroy_read_struct(&png, &info, nullptr);
-    std::fclose(f);
     set_err("png: unexpected rowbytes after normalization");
     return false;
   }
@@ -91,7 +103,6 @@ bool decode_png(const char* path, std::vector<uint8_t>* rgb, int* h,
   png_read_image(png, rows.data());
   png_read_end(png, nullptr);
   png_destroy_read_struct(&png, &info, nullptr);
-  std::fclose(f);
   *h = H;
   *w = W;
   return true;
@@ -108,25 +119,20 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jmp, 1);
 }
 
-bool decode_jpeg(const char* path, std::vector<uint8_t>* rgb, int* h,
-                 int* w) {
-  FILE* f = std::fopen(path, "rb");
-  if (!f) {
-    set_err("fopen failed");
-    return false;
-  }
+bool decode_jpeg_mem(const uint8_t* data, size_t size,
+                     std::vector<uint8_t>* rgb, int* h, int* w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jmp)) {
     jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
     set_err("jpeg decode error");
     return false;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(size));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   cinfo.dct_method = JDCT_ISLOW;  // cv2/libjpeg-turbo default: exact match
@@ -141,30 +147,50 @@ bool decode_jpeg(const char* path, std::vector<uint8_t>* rgb, int* h,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  std::fclose(f);
   *h = H;
   *w = W;
   return true;
 }
 
-bool decode_any(const char* path, std::vector<uint8_t>* rgb, int* h,
-                int* w) {
+bool decode_any_mem(const uint8_t* data, size_t size,
+                    std::vector<uint8_t>* rgb, int* h, int* w) {
+  if (size >= 4 && data[0] == 0x89 && data[1] == 'P') {
+    return decode_png_mem(data, size, rgb, h, w);
+  }
+  if (size >= 2 && data[0] == 0xFF && data[1] == 0xD8) {
+    return decode_jpeg_mem(data, size, rgb, h, w);
+  }
+  set_err("unsupported image format (PNG/JPEG only)");
+  return false;
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* bytes) {
   FILE* f = std::fopen(path, "rb");
   if (!f) {
     set_err("fopen failed");
     return false;
   }
-  unsigned char magic[4] = {0};
-  size_t n = std::fread(magic, 1, 4, f);
+  std::fseek(f, 0, SEEK_END);
+  const long n = std::ftell(f);
+  if (n < 0) {
+    std::fclose(f);
+    set_err("ftell failed");
+    return false;
+  }
+  std::fseek(f, 0, SEEK_SET);
+  bytes->resize(static_cast<size_t>(n));
+  const bool ok =
+      std::fread(bytes->data(), 1, bytes->size(), f) == bytes->size();
   std::fclose(f);
-  if (n >= 4 && magic[0] == 0x89 && magic[1] == 'P') {
-    return decode_png(path, rgb, h, w);
-  }
-  if (n >= 2 && magic[0] == 0xFF && magic[1] == 0xD8) {
-    return decode_jpeg(path, rgb, h, w);
-  }
-  set_err("unsupported image format (PNG/JPEG only)");
-  return false;
+  if (!ok) set_err("short read");
+  return ok;
+}
+
+bool decode_any(const char* path, std::vector<uint8_t>* rgb, int* h,
+                int* w) {
+  std::vector<uint8_t> bytes;
+  if (!read_file(path, &bytes)) return false;
+  return decode_any_mem(bytes.data(), bytes.size(), rgb, h, w);
 }
 
 // -------------------------------------------- pad + crop + augment + f32
@@ -213,11 +239,9 @@ struct SampleSpec {
   int do_h, do_v, do_r;
 };
 
-bool load_pair_impl(const SampleSpec& s, float* lq_out, float* gt_out) {
-  std::vector<uint8_t> lq, gt;
-  int lh, lw, gh, gw;
-  if (!decode_any(s.lq_path, &lq, &lh, &lw)) return false;
-  if (!decode_any(s.gt_path, &gt, &gh, &gw)) return false;
+bool load_pair_decoded(const std::vector<uint8_t>& lq, int lh, int lw,
+                       const std::vector<uint8_t>& gt, int gh, int gw,
+                       const SampleSpec& s, float* lq_out, float* gt_out) {
   if (lh != gh || lw != gw) {
     set_err("lq/gt size mismatch (scale != 1 unsupported in native path)");
     return false;
@@ -227,6 +251,14 @@ bool load_pair_impl(const SampleSpec& s, float* lq_out, float* gt_out) {
   emit_crop(gt.data(), gh, gw, s.top, s.left, s.crop, s.do_h, s.do_v,
             s.do_r, gt_out);
   return true;
+}
+
+bool load_pair_impl(const SampleSpec& s, float* lq_out, float* gt_out) {
+  std::vector<uint8_t> lq, gt;
+  int lh, lw, gh, gw;
+  if (!decode_any(s.lq_path, &lq, &lh, &lw)) return false;
+  if (!decode_any(s.gt_path, &gt, &gh, &gw)) return false;
+  return load_pair_decoded(lq, lh, lw, gt, gh, gw, s, lq_out, gt_out);
 }
 
 }  // namespace
@@ -301,6 +333,57 @@ int fdn_load_pair(const char* lq_path, const char* gt_path, int top,
                   float* lq_out, float* gt_out) {
   SampleSpec s{lq_path, gt_path, top, left, crop, do_h, do_v, do_r};
   return load_pair_impl(s, lq_out, gt_out) ? 0 : 1;
+}
+
+// In-memory variants: encoded bytes instead of paths (the FDNPack
+// single-file dataset path — data/pack.py entries are the original
+// encoded bytes, so decode is identical to the file path).
+
+// Dims from an encoded buffer (PNG IHDR / JPEG SOF walk). Returns 0 on
+// success.
+int fdn_image_dims_mem(const uint8_t* data, size_t size, int* h, int* w) {
+  if (size >= 24 && data[0] == 0x89 && data[1] == 'P') {
+    *w = (data[16] << 24) | (data[17] << 16) | (data[18] << 8) | data[19];
+    *h = (data[20] << 24) | (data[21] << 16) | (data[22] << 8) | data[23];
+    return 0;
+  }
+  if (size >= 4 && data[0] == 0xFF && data[1] == 0xD8) {
+    size_t p = 2;
+    while (p + 4 <= size) {
+      if (data[p] != 0xFF) break;
+      const int marker = data[p + 1];
+      const int len = (data[p + 2] << 8) | data[p + 3];
+      if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+          marker != 0xC8 && marker != 0xCC) {
+        if (p + 9 > size) break;
+        *h = (data[p + 5] << 8) | data[p + 6];
+        *w = (data[p + 7] << 8) | data[p + 8];
+        return 0;
+      }
+      if (len < 2) break;
+      p += 2 + len;
+    }
+    set_err("jpeg: SOF not found");
+    return 1;
+  }
+  set_err("unsupported image format (PNG/JPEG only)");
+  return 1;
+}
+
+// Pair from encoded buffers: same pad/crop/augment/normalize contract as
+// fdn_load_pair. Returns 0 on success.
+int fdn_load_pair_mem(const uint8_t* lq_data, size_t lq_size,
+                      const uint8_t* gt_data, size_t gt_size, int top,
+                      int left, int crop, int do_h, int do_v, int do_r,
+                      float* lq_out, float* gt_out) {
+  std::vector<uint8_t> lq, gt;
+  int lh, lw, gh, gw;
+  if (!decode_any_mem(lq_data, lq_size, &lq, &lh, &lw)) return 1;
+  if (!decode_any_mem(gt_data, gt_size, &gt, &gh, &gw)) return 1;
+  SampleSpec s{nullptr, nullptr, top, left, crop, do_h, do_v, do_r};
+  return load_pair_decoded(lq, lh, lw, gt, gh, gw, s, lq_out, gt_out)
+             ? 0
+             : 1;
 }
 
 // Threaded batch assembly: fills (B, crop, crop, 3) lq/gt buffers.
