@@ -157,9 +157,11 @@ class FDNPredictor:
 
     def restore(self, img, ratio=None, output="float32"):
         """img: (H,W,3) or (B,H,W,3) RGB — float32 in [0,1] or uint8
-        (the wire-efficient path: 1 byte/px H2D, normalized on-device to
-        identical values). Returns same-shape restored image(s), computed
-        at pad-to-x32 resolution then cropped
+        (the wire-efficient path: 1 byte/px H2D, normalized on-device;
+        trained-weights validated vs the f32 wire at 58.4 dB f32 /
+        43.2 dB bf16 = the modes' own noise floors —
+        benchmarks/artifacts/cross_check_u8_r2.json). Returns same-shape
+        restored image(s), computed at pad-to-x32 resolution then cropped
         (image_restoration_model.py:581-583 protocol).
 
         output: 'float32' (default) or 'uint8' — on-device tensor2img

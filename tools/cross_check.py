@@ -28,7 +28,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
-from fdn_tip2025_tpu.utils import platform  # noqa: F401 (FDN_DEVICE)
+from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
+
+force_platform()  # honors FDN_DEVICE; enables the persistent compile cache
 
 LPNET_CKPT = "/root/reference/checkpoint/LPNet_lolblur.pth"
 
@@ -141,6 +143,10 @@ def main():
     ap.add_argument("--skip-torch", action="store_true",
                     help="skip the torch-reference comparison (bf16 "
                          "validation only)")
+    ap.add_argument("--uint8-size", type=int, default=0, metavar="H",
+                    help="also validate the uint8 wire format vs the f32 "
+                         "wire with the trained weights at HxH*1.75 "
+                         "(saved-PNG agreement in LSBs); 0 disables")
     args = ap.parse_args()
 
     from fdn_tip2025_tpu.metrics import calculate_psnr
@@ -222,6 +228,39 @@ def main():
         result["bf16_vs_f32_ssim"] = round(float(
             calculate_ssim(out16, out32, crop_border=0)), 4)
         result["bf16_eval_hw"] = [h, w]
+
+    if args.uint8_size:
+        # uint8 wire format vs f32 wire with the SAME trained weights:
+        # real inputs are PNG-uint8 anyway, so uint8 ingress is identical
+        # data; this measures residual compile-plan ULP differences
+        # between the two jit programs after tensor2img quantization
+        # (chaos makes this meaningless with random weights —
+        # OPTIMIZATIONS.md round-4 serving-wire entry).
+        import jax.numpy as jnp
+
+        h = args.uint8_size
+        w = int(np.ceil(h * 1.75 / 32) * 32)
+        u8 = np.round(np.clip(
+            synth_pair(np.random.default_rng(9), max(h, w))[0][:h, :w],
+            0, 1) * 255.0).astype(np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+        for tag, p in [("f32", pred),
+                       ("bf16", FDNPredictor(
+                           variant="lolblur", fdn_ckpt=pth,
+                           lpnet_ckpt=LPNET_CKPT, dtype=jnp.bfloat16))]:
+            r = p.predict_ratio(f32)
+            q_f = np.round(np.clip(p.restore(f32, ratio=r), 0, 1)
+                           * 255.0).astype(np.uint8)
+            out_u = p.restore(u8, ratio=r, output="uint8")
+            diff = np.abs(q_f.astype(int) - out_u.astype(int))
+            result[f"uint8_wire_{tag}_max_lsb"] = int(diff.max())
+            result[f"uint8_wire_{tag}_frac_diff"] = round(
+                float((diff > 0).mean()), 6)
+            result[f"uint8_wire_{tag}_psnr_db"] = round(float(
+                calculate_psnr(q_f.astype(np.float64),
+                               out_u.astype(np.float64), crop_border=0)),
+                2)
+        result["uint8_eval_hw"] = [h, w]
     print(json.dumps(result))
     with open(os.path.join(args.out, "result.json"), "w") as f:
         json.dump(result, f, indent=1)

@@ -49,8 +49,9 @@ def main():
                         lpnet_ckpt=args.lpnet_ckpt)
 
     # Pipelined dataset sweep: uint8 wire format (decode bytes ship
-    # as-is; device-side normalize + tensor2img quantization gives
-    # bit-identical PNGs to the f32 path at 4x fewer transfer bytes),
+    # as-is; device-side normalize + tensor2img quantization, 4x fewer
+    # transfer bytes; trained-weights validated at 58.4 dB vs the f32
+    # wire — benchmarks/artifacts/cross_check_u8_r2.json),
     # `--pipeline` concurrent restores so transfers hide behind compute,
     # and PNG encodes ride a writer thread off the critical path.
     import collections

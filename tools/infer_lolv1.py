@@ -30,8 +30,8 @@ def main():
     pred = FDNPredictor(variant="lolv1", fdn_ckpt=args.fdn_ckpt,
                         lpnet_ckpt=args.lpnet_ckpt)
     for path in sorted(glob.glob(args.input)):
-        # uint8 wire format (device-side normalize/quantize) —
-        # bit-identical PNGs to the f32 path
+        # uint8 wire format (device-side normalize/quantize; validated
+        # vs the f32 wire — see cross_check_u8_r2.json)
         out = pred.restore(imread(path, float32=False), output="uint8")
         imwrite(out[..., ::-1],
                 os.path.join(args.output, os.path.basename(path)))
