@@ -148,10 +148,34 @@ def main():
     from fdn_tip2025_tpu.parallel.mesh import batch_sharding
     batches = prefetch_to_device(loader, sharding=batch_sharding(mesh))
 
+    # Preemption-safe training: TPU workers get SIGTERM'd (spot/
+    # maintenance); checkpoint at the next step boundary and exit 0 so
+    # the auto-resume scan above continues seamlessly on relaunch. The
+    # reference's story is crash -> lose up to save_freq iters
+    # (train_ir.py:174-197 resume only); this bounds the loss to one step.
+    import signal
+
+    preempted = []
+
+    def _on_term(signum, frame):
+        preempted.append(signum)
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_term)
+
     data_t = iter_t = time.time()
     for batch in batches:
         if trainer.step >= total_iter:
             break
+        if preempted:
+            save_network(opt["path"]["models"], trainer.params,
+                         trainer.step)
+            save_training_state(opt["path"]["training_states"],
+                                trainer.trainable, trainer.frozen,
+                                trainer.opt_state, trainer.step)
+            logger.info(f"SIGTERM: preemption checkpoint @ "
+                        f"{trainer.step}, exiting for resume")
+            signal.signal(signal.SIGTERM, prev_handler)
+            return
         data_time = time.time() - data_t
         aux = trainer.train_step(batch)
         iter_time = time.time() - iter_t
