@@ -15,8 +15,16 @@ from fdn_tip2025_tpu.utils.img_io import imread
 
 class SingleImageDataset:
     def __init__(self, opt):
-        """opt: dataroot_lq (dir or glob), optional meta_info_file."""
+        """opt: dataroot_lq (dir or glob), optional meta_info_file, or
+        io_backend: {type: pack, pack_lq: <.fdnpack>} (FDNPack)."""
         self.opt = opt
+        self._pack = None
+        io = opt.get("io_backend") or {}
+        if io.get("type") == "pack":
+            from fdn_tip2025_tpu.data.pack import PackReader
+            self._pack = PackReader(io["pack_lq"])
+            self.paths = self._pack.keys()
+            return
         root = opt["dataroot_lq"]
         meta = opt.get("meta_info_file")
         if meta:
@@ -35,4 +43,9 @@ class SingleImageDataset:
         return len(self.paths)
 
     def __getitem__(self, idx, rng=None):
+        if self._pack is not None:
+            from fdn_tip2025_tpu.utils.file_client import imfrombytes
+            lq = np.ascontiguousarray(imfrombytes(
+                self._pack.get(self.paths[idx]), float32=True)[..., ::-1])
+            return {"lq": lq, "lq_path": self.paths[idx]}
         return {"lq": imread(self.paths[idx]), "lq_path": self.paths[idx]}

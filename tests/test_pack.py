@@ -97,6 +97,19 @@ def test_pack_native_loader_bit_identical(tmp_path, png_tree, rng):
         np.testing.assert_array_equal(a["gt"], b["gt"])
 
 
+def test_single_dataset_from_pack(tmp_path, png_tree, rng):
+    from fdn_tip2025_tpu.data.single_dataset import SingleImageDataset
+    from fdn_tip2025_tpu.utils.img_io import imread
+
+    root, paths = png_tree
+    pack = str(tmp_path / "s.fdnpack")
+    write_pack(paths, pack, root=root)
+    ds = SingleImageDataset({"io_backend": {"type": "pack",
+                                            "pack_lq": pack}})
+    assert len(ds) == 3
+    np.testing.assert_array_equal(ds[0]["lq"], imread(paths[0]))
+
+
 def test_paired_dataset_from_pack_matches_disk(tmp_path, png_tree, rng):
     """Same draws -> bit-identical train samples from pack and disk."""
     from fdn_tip2025_tpu.data.paired_dataset import PairedImageDataset
