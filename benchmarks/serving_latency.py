@@ -18,7 +18,11 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
+from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
+
+force_platform()  # honors FDN_DEVICE; persistent compile cache
+
+import numpy as np  # noqa: E402
 
 
 SIZES = [(400, 600), (640, 1120), (720, 1280), (1088, 1920)]

@@ -76,9 +76,11 @@ class MicroBatcher:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
-    def submit(self, img, ratio=None, timeout=120.0):
+    def submit(self, img, ratio=None, timeout=600.0):
         """img: (H, W, 3) float32 [0,1] or uint8. Blocks until the batch
-        runs (oversize images run tiled immediately on this thread)."""
+        runs (oversize images run tiled immediately on this thread).
+        timeout must cover a first-request jit compile of a new x32
+        bucket (minutes on a cold cache), not just the steady state."""
         if (self.tile_above_px
                 and img.shape[0] * img.shape[1] > self.tile_above_px):
             return self.predictor.restore_tiled(
@@ -141,11 +143,24 @@ class MicroBatcher:
                         (0, bw - p.img.shape[1]), (0, 0)),
                        mode="reflect")
                 for p in group])
-            ratios = ([p.ratio for p in group] if with_ratio else None)
+            # batch-size bucketing: pad the group to the next power of
+            # two (capped at max_batch) by repeating the last image —
+            # the jit program is keyed on the batch dim, so without this
+            # every distinct group size compiles its own program
+            # (measured: a mid-traffic compile spikes p95 to minutes).
+            n = len(group)
+            target = min(1 << (n - 1).bit_length(), self.max_batch)
+            if target > n:
+                padded = np.concatenate(
+                    [padded, np.repeat(padded[-1:], target - n, axis=0)])
+            ratios = None
+            if with_ratio:
+                ratios = [p.ratio for p in group]
+                ratios += [0.5] * (len(padded) - n)
             out = self.predictor.restore(
                 padded, ratio=np.asarray(ratios, np.float32)
                 if with_ratio else None, output=self.output)
-            for p, o in zip(group, out):
+            for p, o in zip(group, out[:n]):
                 p.out = o[:p.img.shape[0], :p.img.shape[1]]
         except Exception as e:  # noqa: BLE001 — propagate to waiters
             for p in group:
@@ -208,6 +223,9 @@ def make_http_server(batcher, host="0.0.0.0", port=8700,
             img = np.ascontiguousarray(buf[..., ::-1])  # BGR->RGB
             try:
                 out = batcher.submit(img, ratio)
+            except TimeoutError as e:
+                return self._send(
+                    503, json.dumps({"error": repr(e)}).encode())
             except Exception as e:  # noqa: BLE001 — report to client
                 return self._send(
                     500, json.dumps({"error": repr(e)}).encode())

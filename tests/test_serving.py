@@ -120,6 +120,34 @@ def test_microbatcher_uint8_wire(rng):
         mb.close()
 
 
+def test_microbatcher_batch_size_bucketing(rng):
+    """Groups pad to the next power-of-two batch (capped at max_batch):
+    the jit program is keyed on the batch dim, so free sizes would
+    compile per distinct group size (measured minutes-long p95 spikes)."""
+    pred = ToyPredictor()
+    mb = MicroBatcher(pred, max_batch=8, window_ms=60.0)
+    try:
+        imgs = [rng.random((16, 16, 3), dtype=np.float32)
+                for _ in range(3)]
+        outs = [None] * 3
+
+        def worker(i):
+            outs[i] = mb.submit(imgs[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # 3 requests ride ONE call padded to batch 4 (next pow2)
+        assert pred.calls == [((4, 32, 32, 3), None)]
+        for img, out in zip(imgs, outs):
+            np.testing.assert_allclose(out, _expected(img), atol=1e-6)
+    finally:
+        mb.close()
+
+
 def test_microbatcher_tiled_route(rng):
     """Oversize requests bypass batching and run the tiled restore."""
     class TiledToy(ToyPredictor):

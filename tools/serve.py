@@ -68,9 +68,16 @@ def main():
         dtype=jnp.dtype(args.dtype),
         mesh=make_mesh(args.mesh) if args.mesh else None)
     if args.warmup_hw:
+        # compile every power-of-two batch size the micro-batcher can
+        # form at this bucket, so no client request ever pays a jit
         h, w = (int(v) for v in args.warmup_hw.split(","))
-        pred.restore(np.zeros((h, w, 3), np.uint8), output="uint8")
-        print(f"warmed up at {h}x{w}", flush=True)
+        b = 1
+        while True:
+            pred.restore(np.zeros((b, h, w, 3), np.uint8), output="uint8")
+            print(f"warmed up at {h}x{w} batch {b}", flush=True)
+            if b >= args.max_batch:
+                break
+            b = min(b * 2, args.max_batch)
 
     # uint8 in/out on the wire: decode bytes ship as-is, quantization to
     # PNG-ready uint8 runs on-device (4x fewer transfer bytes than f32)
