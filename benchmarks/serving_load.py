@@ -57,9 +57,15 @@ def main():
             assert resp.status == 200
             resp.read()
 
-    print("warming (compile per bucket) ...", flush=True)
-    for _, body in bodies:
-        post(body)
+    print("warming (compile per bucket x pow2 batch) ...", flush=True)
+    for (h, w), body in bodies:
+        b = 1
+        while True:  # mirror serve.py --warmup-hw: all pow2 batch sizes
+            pred.restore(np.zeros((b, h, w, 3), np.uint8), output="uint8")
+            if b >= mb.max_batch:
+                break
+            b = min(b * 2, mb.max_batch)
+        post(body)  # HTTP path end-to-end
 
     lat = {hw: [] for hw, _ in bodies}
     lock = threading.Lock()
