@@ -22,6 +22,8 @@ from fdn_tip2025_tpu.utils.platform import force_platform  # noqa: E402
 
 force_platform()  # FDN_DEVICE=cpu to force CPU (sitecustomize pins TPU)
 
+import jax.numpy as jnp  # noqa: E402
+
 from fdn_tip2025_tpu.inference import FDNPredictor  # noqa: E402
 from fdn_tip2025_tpu.utils.img_io import imread, imwrite  # noqa: E402
 
@@ -37,6 +39,10 @@ def main():
                     default="/root/reference/checkpoint/LPNet_lolblur.pth")
     ap.add_argument("--variant", default="lolblur",
                     choices=["lolblur", "lolv1"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="serving dtype (bfloat16 = validated "
+                         "production mode, 43.5 dB vs f32)")
     ap.add_argument("--pipeline", type=int, default=2,
                     help="in-flight restores (2 overlaps image N+1's H2D "
                          "with image N's compute; 1 = serial)")
@@ -46,7 +52,8 @@ def main():
     if not paths:
         raise SystemExit(f"no inputs match {args.input}")
     pred = FDNPredictor(variant=args.variant, fdn_ckpt=args.fdn_ckpt,
-                        lpnet_ckpt=args.lpnet_ckpt)
+                        lpnet_ckpt=args.lpnet_ckpt,
+                        dtype=jnp.dtype(args.dtype))
 
     # Pipelined dataset sweep: uint8 wire format (decode bytes ship
     # as-is; device-side normalize + tensor2img quantization, 4x fewer
