@@ -1,23 +1,34 @@
 """Build fdn_native.so from loader.cc with g++ (no pybind11 in this
 image; the library exposes a plain C ABI consumed via ctypes).
 
-The build is lazy and cached: rebuilt only when loader.cc is newer than
-the .so. Failure is non-fatal — callers fall back to the cv2 path.
+The build is lazy and cached: a sidecar .srchash records the sha256 of
+loader.cc the .so was built from, so staleness survives git checkouts
+(which reset mtimes). Failure is non-fatal — callers fall back to the
+cv2 path.
 """
 
+import hashlib
 import os
 import subprocess
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 SRC = os.path.join(_DIR, "loader.cc")
 SO = os.path.join(_DIR, "fdn_native.so")
+HASHFILE = SO + ".srchash"
+
+
+def _src_hash():
+    with open(SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def build(force=False, quiet=True):
     """Compile loader.cc -> fdn_native.so. Returns the .so path or None."""
-    if not force and os.path.exists(SO) and \
-            os.path.getmtime(SO) >= os.path.getmtime(SRC):
-        return SO
+    src_hash = _src_hash()
+    if not force and os.path.exists(SO) and os.path.exists(HASHFILE):
+        with open(HASHFILE) as f:
+            if f.read().strip() == src_hash:
+                return SO
     cmd = [
         "g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
         SRC, "-o", SO, "-lpng", "-ljpeg",
@@ -31,6 +42,8 @@ def build(force=False, quiet=True):
         if not quiet:
             raise RuntimeError(f"fdn_native build failed:\n{proc.stderr}")
         return None
+    with open(HASHFILE, "w") as f:
+        f.write(src_hash + "\n")
     return SO
 
 
