@@ -20,6 +20,7 @@ from tests.torch_ref import import_ref_arch, to_nchw, to_nhwc, seed_all
 ARCH = import_ref_arch("FDN_arch")
 KEY = jax.random.PRNGKey(0)
 LPNET_CKPT = "/root/reference/checkpoint/LPNet_lolblur.pth"
+LPNET_LOLV1_CKPT = "/root/reference/checkpoint/LPNet_lolv1.pth"
 
 
 def sd(mod):
@@ -80,19 +81,26 @@ def test_fdformer_small_parity(rng):
     assert_close(np.asarray(got), to_nhwc(ref), atol=5e-3)
 
 
-def test_ipredict_real_checkpoint(rng):
-    """LPNet with the real released checkpoint: scalar ratio to ~1e-4."""
-    if not os.path.exists(LPNET_CKPT):
+@pytest.mark.parametrize("ckpt", [LPNET_CKPT, LPNET_LOLV1_CKPT],
+                         ids=["lolblur", "lolv1"])
+def test_ipredict_real_checkpoint(rng, ckpt):
+    """LPNet with both released checkpoints: scalar ratio to ~1e-4.
+
+    Same I_predict_net graph, independently trained weights per dataset
+    (reference inference_fdn_lolblur.py:30 / inference_fdn_lolv1.py:30)
+    — the lolv1 weights exercise different BN statistics/activations.
+    """
+    if not os.path.exists(ckpt):
         pytest.skip("LPNet checkpoint not mounted")
     lp = import_ref_arch("LPNet_arch")
     m = lp.I_predict_net().eval()
-    state = torch.load(LPNET_CKPT, map_location="cpu", weights_only=True)
+    state = torch.load(ckpt, map_location="cpu", weights_only=True)
     m.load_state_dict(state["params"], strict=True)
     x = rand(rng, (2, 96, 96, 3))
     with torch.no_grad():
         ref = m(to_nchw(x))
         ref_ori = m(to_nchw(x), use_ori_i=True)
-    p = load_model_from_pth(LPNET_CKPT, init_ipredict(KEY))
+    p = load_model_from_pth(ckpt, init_ipredict(KEY))
     got = ipredict_forward(p, jnp.asarray(x))
     got_ori = ipredict_forward(p, jnp.asarray(x), use_ori_i=True)
     assert_close(np.asarray(got), ref.numpy(), atol=1e-4)
