@@ -68,6 +68,11 @@ def _load_pris(path):
 def niqe_score(img, mu_pris, cov_pris, window, block=96):
     h, w = img.shape
     nbh, nbw = math.floor(h / block), math.floor(w / block)
+    if nbh == 0 or nbw == 0:
+        # the reference crashes on an empty resize here; fail clearly
+        raise ValueError(
+            f"image too small for NIQE: {h}x{w} after crop, needs at "
+            f"least one {block}x{block} block")
     img = img[: nbh * block, : nbw * block]
     dist = []
     for scale in (1, 2):

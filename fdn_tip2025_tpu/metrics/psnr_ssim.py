@@ -38,15 +38,24 @@ def calculate_psnr(img1, img2, crop_border=0, input_order="HWC",
     if crop_border:
         img1 = img1[crop_border:-crop_border, crop_border:-crop_border]
         img2 = img2[crop_border:-crop_border, crop_border:-crop_border]
-    if test_y_channel:
-        from fdn_tip2025_tpu.metrics.color import to_y_channel
-        img1 = to_y_channel(img1)
-        img2 = to_y_channel(img2)
-    mse = np.mean((img1 - img2) ** 2)
-    if mse == 0:
-        return float("inf")
-    max_value = 1.0 if img1.max() <= 1 else 255.0
-    return 20.0 * np.log10(max_value / np.sqrt(mse))
+
+    def _psnr(a, b):
+        if test_y_channel:
+            from fdn_tip2025_tpu.metrics.color import to_y_channel
+            a = to_y_channel(a)
+            b = to_y_channel(b)
+        mse = np.mean((a - b) ** 2)
+        if mse == 0:
+            return float("inf")
+        max_value = 1.0 if a.max() <= 1 else 255.0
+        return 20.0 * np.log10(max_value / np.sqrt(mse))
+
+    # stereo quirk (reference :65-70): 6-channel = left|right pair,
+    # scored per 3-channel half and averaged
+    if img1.shape[2] == 6:
+        return (_psnr(img1[:, :, :3], img2[:, :, :3])
+                + _psnr(img1[:, :, 3:], img2[:, :, 3:])) / 2
+    return _psnr(img1, img2)
 
 
 @lru_cache(maxsize=None)
@@ -59,9 +68,12 @@ def _gaussian_kernel_1d(size=11, sigma=1.5):
 
 @lru_cache(maxsize=None)
 def _kernel3d():
+    # numpy, not jnp: this is called inside the _ssim3d_map trace, and an
+    # lru_cache'd jnp value created there would be a leaked tracer on the
+    # next retrace (new input shape). A numpy constant is trace-safe.
     k = _gaussian_kernel_1d()
     w = np.einsum("i,j,k->ijk", k, k, k)
-    return jnp.asarray(w, jnp.float32)
+    return np.asarray(w, np.float32)
 
 
 @jax.jit
@@ -128,12 +140,19 @@ def calculate_ssim(img1, img2, crop_border=0, input_order="HWC",
     if crop_border:
         img1 = img1[crop_border:-crop_border, crop_border:-crop_border]
         img2 = img2[crop_border:-crop_border, crop_border:-crop_border]
-    if test_y_channel:
-        from fdn_tip2025_tpu.metrics.color import to_y_channel
-        img1 = to_y_channel(img1)[..., 0]
-        img2 = to_y_channel(img2)[..., 0]
-        return _ssim_2d(img1, img2, 255.0)
-    max_value = 1.0 if img1.max() <= 1 else 255.0
-    if ssim3d:
-        return _ssim_3d(img1, img2, max_value)
-    return _ssim_2d(img1, img2, max_value)
+    def _cal(a, b):
+        if test_y_channel:
+            from fdn_tip2025_tpu.metrics.color import to_y_channel
+            a = to_y_channel(a)[..., 0]
+            b = to_y_channel(b)[..., 0]
+            return _ssim_2d(a, b, 255.0)
+        max_value = 1.0 if a.max() <= 1 else 255.0
+        if ssim3d:
+            return _ssim_3d(a, b, max_value)
+        return _ssim_2d(a, b, max_value)
+
+    # stereo quirk (reference :324-328): 6-channel pair averaged
+    if img1.shape[2] == 6:
+        return (_cal(img1[:, :, :3], img2[:, :, :3])
+                + _cal(img1[:, :, 3:], img2[:, :, 3:])) / 2
+    return _cal(img1, img2)

@@ -43,6 +43,19 @@ def test_psnr_255(imgs, monkeypatch):
     assert abs(ref - got) < 1e-8
 
 
+def test_psnr_ssim_stereo6_parity(rng, monkeypatch):
+    """6-channel stereo split (reference :65-70, :324-328): per-half avg."""
+    ref_mod = _ref_metrics(monkeypatch)
+    a = rng.random((48, 56, 6)).astype(np.float64)
+    b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1)
+    ref = ref_mod.calculate_psnr(a, b, crop_border=2)
+    got = calculate_psnr(a, b, crop_border=2)
+    assert abs(ref - got) < 1e-8
+    ref = ref_mod.calculate_ssim(a, b, crop_border=0, ssim3d=True)
+    got = calculate_ssim(a, b, crop_border=0, ssim3d=True)
+    assert abs(ref - got) < 2e-5, (ref, got)
+
+
 def test_ssim3d_parity(imgs, monkeypatch):
     ref_mod = _ref_metrics(monkeypatch)
     a, b = imgs
