@@ -65,11 +65,6 @@ class FDNPredictor:
         independent, so DP serving scales linearly over ICI (the
         multi-GPU analog the reference gets from dist_test.sh's
         per-rank image sharding, image_restoration_model.py:728-731)."""
-        if dtype == jnp.bfloat16:
-            # serving-only scan unroll: +3.5% measured in bf16 at
-            # 1120x640 (training keeps unroll 1 — compile time and remat
-            # interplay; see OPTIMIZATIONS.md round-3 scan-unroll sweep)
-            os.environ.setdefault("FDN_SCAN_UNROLL", "5")
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.variant = variant
@@ -92,6 +87,22 @@ class FDNPredictor:
             self.fdn_params = replicate_tree(self.fdn_params, mesh)
             self.lpnet_params = replicate_tree(self.lpnet_params, mesh)
         self._jit_cache = {}
+
+    def _traced_fwd(self, fdn_p, x, ratio):
+        """self._fdn_fwd with the serving-only scan unroll scoped to THIS
+        trace: FDN_SCAN_UNROLL is read at trace time inside _run_blocks
+        (models/fdformer.py:96); unroll=5 is +3.5% for bf16 serving but
+        must not leak into later f32/train jits in the same process
+        (training keeps unroll 1 — compile-time/remat interplay, see the
+        round-3 scan-unroll sweep in OPTIMIZATIONS.md). An explicit
+        FDN_SCAN_UNROLL in the environment still wins."""
+        if self.dtype != jnp.bfloat16 or "FDN_SCAN_UNROLL" in os.environ:
+            return self._fdn_fwd(fdn_p, x, ratio)
+        os.environ["FDN_SCAN_UNROLL"] = "5"
+        try:
+            return self._fdn_fwd(fdn_p, x, ratio)
+        finally:
+            os.environ.pop("FDN_SCAN_UNROLL", None)
 
     def _compiled(self, shape, with_ratio, from_uint8, to_uint8):
         key = (shape, with_ratio, from_uint8, to_uint8)
@@ -133,7 +144,7 @@ class FDNPredictor:
 
             if with_ratio:
                 def fn(fdn_p, x, ratio):
-                    return post(self._fdn_fwd(fdn_p, pre(x), ratio)[0])
+                    return post(self._traced_fwd(fdn_p, pre(x), ratio)[0])
 
                 self._jit_cache[key] = jax.jit(fn, **jit_kw)
             else:
@@ -149,8 +160,8 @@ class FDNPredictor:
                         ratio = gray / pred
                     else:
                         ratio = pred
-                    return post(self._fdn_fwd(fdn_p, x,
-                                              ratio.astype(x.dtype))[0])
+                    return post(self._traced_fwd(fdn_p, x,
+                                                 ratio.astype(x.dtype))[0])
 
                 self._jit_cache[key] = jax.jit(fn, **jit_kw)
         return self._jit_cache[key]
@@ -205,6 +216,13 @@ class FDNPredictor:
             out = fn(self.fdn_params, self.lpnet_params, x)
         else:
             ratio = np.asarray(ratio, np.float32).reshape(-1, 1)
+            if ratio.shape[0] == 1 and n_real > 1:
+                # scalar ratio applies to every image in the batch (the
+                # reference broadcasts a (1,1) ratio in MAR, z2 * ratio)
+                ratio = np.broadcast_to(ratio, (n_real, 1))
+            if ratio.shape[0] != n_real:
+                raise ValueError(
+                    f"ratio batch {ratio.shape[0]} != image batch {n_real}")
             if ratio.shape[0] != x.shape[0]:  # batch was mesh-padded
                 ratio = np.concatenate(
                     [ratio, np.full((x.shape[0] - ratio.shape[0], 1), 0.5,
@@ -244,10 +262,20 @@ class FDNPredictor:
         if ratio is None:
             thumb = (img.astype(np.float32) / 255.0 if from_uint8
                      else img)
+            full = thumb
             while max(thumb.shape[:2]) > 1024:
                 thumb = np.asarray(interp_bilinear(
                     jnp.asarray(thumb)[None], 0.5))[0]
             ratio = float(self.predict_ratio(thumb)[0, 0])
+            if self.variant == "lolv1":
+                # lolv1 ratio protocol: mean(gray(img))/pred
+                # (inference_fdn_lolv1.py:58-64) — gray mean over the
+                # FULL image (host numpy; only LPNet sees the thumbnail)
+                from fdn_tip2025_tpu.ops.image import _GRAY_W
+                gray = float(np.mean(
+                    np.asarray(full, np.float32)
+                    @ np.asarray(_GRAY_W, np.float32)))
+                ratio = gray / ratio
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         bs = batch_size or max(4, n_dev)
 
@@ -268,7 +296,7 @@ class FDNPredictor:
                         x = x.astype(jnp.float32) / 255.0
                     x = x.astype(self.dtype)
                     rb = jnp.broadcast_to(rj, (x.shape[0], 1))
-                    out = self._fdn_fwd(fdn_p, x, rb.astype(x.dtype))[0]
+                    out = self._traced_fwd(fdn_p, x, rb.astype(x.dtype))[0]
                     # stitch (count averaging) runs on the host in f32;
                     # D2H stays in the serving dtype
                     return out

@@ -32,7 +32,7 @@ def _bucket_shape(h, w):
 
 
 class _Pending:
-    __slots__ = ("img", "ratio", "event", "out", "error")
+    __slots__ = ("img", "ratio", "event", "out", "error", "abandoned")
 
     def __init__(self, img, ratio):
         self.img = img
@@ -40,6 +40,7 @@ class _Pending:
         self.event = threading.Event()
         self.out = None
         self.error = None
+        self.abandoned = False  # client timed out; shed instead of serve
 
 
 class MicroBatcher:
@@ -70,7 +71,12 @@ class MicroBatcher:
         import concurrent.futures as cf
         self._pool = cf.ThreadPoolExecutor(max(1, int(pipeline_depth)))
         self.q = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "images": 0}
+        # requests = served requests; images = device dispatch sizes
+        # (incl. pow2 padding, so images-requests = padding overhead);
+        # tiled = oversize requests routed around batching; shed =
+        # abandoned (timed-out) requests dropped before dispatch
+        self.stats = {"requests": 0, "batches": 0, "images": 0,
+                      "tiled": 0, "shed": 0}
         self._stats_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -83,11 +89,19 @@ class MicroBatcher:
         bucket (minutes on a cold cache), not just the steady state."""
         if (self.tile_above_px
                 and img.shape[0] * img.shape[1] > self.tile_above_px):
-            return self.predictor.restore_tiled(
+            out = self.predictor.restore_tiled(
                 img, crop=self.tile_crop, ratio=ratio, output=self.output)
+            with self._stats_lock:
+                self.stats["requests"] += 1
+                self.stats["tiled"] += 1
+            return out
         p = _Pending(img, ratio)
         self.q.put(p)
         if not p.event.wait(timeout):
+            # mark abandoned so the worker sheds it instead of spending a
+            # device forward on a waiter that already got its 503 —
+            # otherwise overload backlogs never drain
+            p.abandoned = True
             raise TimeoutError("restore timed out")
         if p.error is not None:
             raise p.error
@@ -133,45 +147,55 @@ class MicroBatcher:
 
     def _dispatch(self, group, key):
         (bh, bw), with_ratio, _u8 = key
-        try:
-            # pad every image of the bucket to the exact bucket shape so
-            # they stack (reflect-pad like the x32 protocol; the
-            # predictor's own x32 pad is then a no-op) and crop back.
-            padded = np.stack([
-                np.pad(p.img,
-                       ((0, bh - p.img.shape[0]),
-                        (0, bw - p.img.shape[1]), (0, 0)),
-                       mode="reflect")
-                for p in group])
-            # batch-size bucketing: pad the group to the next power of
-            # two (capped at max_batch) by repeating the last image —
-            # the jit program is keyed on the batch dim, so without this
-            # every distinct group size compiles its own program
-            # (measured: a mid-traffic compile spikes p95 to minutes).
-            n = len(group)
-            target = min(1 << (n - 1).bit_length(), self.max_batch)
-            if target > n:
-                padded = np.concatenate(
-                    [padded, np.repeat(padded[-1:], target - n, axis=0)])
-            ratios = None
-            if with_ratio:
-                ratios = [p.ratio for p in group]
-                ratios += [0.5] * (len(padded) - n)
-            out = self.predictor.restore(
-                padded, ratio=np.asarray(ratios, np.float32)
-                if with_ratio else None, output=self.output)
-            for p, o in zip(group, out[:n]):
-                p.out = o[:p.img.shape[0], :p.img.shape[1]]
-        except Exception as e:  # noqa: BLE001 — propagate to waiters
-            for p in group:
-                p.error = e
-        finally:
-            with self._stats_lock:  # dispatches run on pool threads
-                self.stats["requests"] += len(group)
-                self.stats["images"] += len(group)
-                self.stats["batches"] += 1
-            for p in group:
-                p.event.set()
+        # shed abandoned waiters (client already got its 503): spending
+        # a multi-second device forward on them keeps the backlog from
+        # ever draining under overload
+        live = [p for p in group if not p.abandoned]
+        shed = len(group) - len(live)
+        dispatched = 0
+        if live:
+            try:
+                # pad every image of the bucket to the exact bucket shape
+                # so they stack (reflect-pad like the x32 protocol; the
+                # predictor's own x32 pad is then a no-op) and crop back.
+                padded = np.stack([
+                    np.pad(p.img,
+                           ((0, bh - p.img.shape[0]),
+                            (0, bw - p.img.shape[1]), (0, 0)),
+                           mode="reflect")
+                    for p in live])
+                # batch-size bucketing: pad the group to the next power
+                # of two (capped at max_batch) by repeating the last
+                # image — the jit program is keyed on the batch dim, so
+                # without this every distinct group size compiles its own
+                # program (measured: a mid-traffic compile spikes p95 to
+                # minutes).
+                n = len(live)
+                target = min(1 << (n - 1).bit_length(), self.max_batch)
+                if target > n:
+                    padded = np.concatenate(
+                        [padded,
+                         np.repeat(padded[-1:], target - n, axis=0)])
+                dispatched = len(padded)
+                ratios = None
+                if with_ratio:
+                    ratios = [p.ratio for p in live]
+                    ratios += [0.5] * (len(padded) - n)
+                out = self.predictor.restore(
+                    padded, ratio=np.asarray(ratios, np.float32)
+                    if with_ratio else None, output=self.output)
+                for p, o in zip(live, out[:n]):
+                    p.out = o[:p.img.shape[0], :p.img.shape[1]]
+            except Exception as e:  # noqa: BLE001 — propagate to waiters
+                for p in live:
+                    p.error = e
+        with self._stats_lock:  # dispatches run on pool threads
+            self.stats["requests"] += len(live)
+            self.stats["images"] += dispatched
+            self.stats["batches"] += 1 if live else 0
+            self.stats["shed"] += shed
+        for p in live:
+            p.event.set()
 
 
 def make_http_server(batcher, host="0.0.0.0", port=8700,

@@ -73,6 +73,59 @@ def test_uint8_wire_format(rng, predictor, monkeypatch):
     assert out_u.shape == u8.shape
 
 
+def test_predictor_scalar_ratio_broadcast(rng, predictor, monkeypatch):
+    """A scalar ratio applies to EVERY image of a batch (the reference
+    broadcasts a (1,1) ratio in MAR); a wrong-length ratio errors
+    instead of silently padding with 0.5."""
+    import jax.numpy as jnp
+
+    def fake_fwd(params, x, ratio):
+        return (x + ratio[:, 0][:, None, None, None].astype(x.dtype),)
+
+    monkeypatch.setattr(predictor, "_fdn_fwd", fake_fwd)
+    imgs = rng.random((3, 24, 40, 3), dtype=np.float32)
+    out_scalar = predictor.restore(imgs, ratio=0.8)
+    out_explicit = predictor.restore(
+        imgs, ratio=np.full((3,), 0.8, np.float32))
+    np.testing.assert_array_equal(out_scalar, out_explicit)
+    np.testing.assert_allclose(out_scalar, imgs + 0.8, atol=1e-6)
+    with pytest.raises(ValueError, match="ratio batch"):
+        predictor.restore(imgs, ratio=np.array([0.2, 0.8], np.float32))
+
+
+def test_restore_tiled_lolv1_ratio_protocol(rng):
+    """restore_tiled with ratio=None on the lolv1 variant must apply the
+    mean(gray)/pred protocol (inference_fdn_lolv1.py:58-64), same as the
+    batched no-ratio path — not the raw LPNet prediction."""
+    import jax.numpy as jnp
+
+    pred = FDNPredictor.__new__(FDNPredictor)
+    pred.variant = "lolv1"
+    pred.dtype = jnp.float32
+    pred.mesh = None
+    pred.fdn_params = {}
+    pred._jit_cache = {}
+    # the stand-in forward paints the image with the ratio it was given,
+    # so the stitched output reveals the ratio the tiled path used
+    pred._fdn_fwd = lambda p, x, r: (
+        jnp.broadcast_to(r[:, 0][:, None, None, None], x.shape),)
+    lp_pred = 0.25
+    pred.predict_ratio = lambda img: np.full((1, 1), lp_pred, np.float32)
+
+    img = rng.integers(0, 256, (48, 72, 3), dtype=np.uint8)
+    out = pred.restore_tiled(img, crop=32, batch_size=2)
+    gray = float(np.mean(
+        (img.astype(np.float32) / 255.0)
+        @ np.asarray((0.2989, 0.587, 0.114), np.float32)))
+    np.testing.assert_allclose(out, gray / lp_pred, rtol=1e-5)
+
+    # lolblur keeps the raw prediction
+    pred.variant = "lolblur"
+    pred._jit_cache = {}
+    out = pred.restore_tiled(img, crop=32, batch_size=2)
+    np.testing.assert_allclose(out, lp_pred, rtol=1e-5)
+
+
 def test_restore_tiled_matches_plain(rng, predictor, monkeypatch):
     """restore_tiled (grids protocol as a predictor method) with a
     pointwise stand-in forward: overlap averaging of identical values

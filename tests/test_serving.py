@@ -173,7 +173,45 @@ def test_microbatcher_tiled_route(rng):
         np.testing.assert_allclose(out_big, _expected(big), atol=1e-6)
         np.testing.assert_allclose(out_small, _expected(small), atol=1e-6)
         assert mb.stats["batches"] == 1  # only the small one batched
+        assert mb.stats["tiled"] == 1  # the big one is counted too
+        assert mb.stats["requests"] == 2
     finally:
+        mb.close()
+
+
+def test_microbatcher_sheds_timed_out_requests(rng):
+    """A request whose client timed out (got its 503) must NOT be run on
+    the device later — otherwise the backlog never drains under
+    overload."""
+    import time
+
+    release = threading.Event()
+
+    class SlowToy(ToyPredictor):
+        def restore(self, imgs, ratio=None, output="float32"):
+            release.wait(10)  # hold the single dispatch slot
+            return super().restore(imgs, ratio, output)
+
+    pred = SlowToy()
+    mb = MicroBatcher(pred, max_batch=2, window_ms=1.0, pipeline_depth=1)
+    try:
+        img = rng.random((8, 8, 3), dtype=np.float32)
+        slow = threading.Thread(target=lambda: mb.submit(img))
+        slow.start()  # occupies the dispatch pool
+        time.sleep(0.1)
+        # second request: queued behind the slow dispatch, abandoned
+        with pytest.raises(TimeoutError):
+            mb.submit(img, timeout=0.2)
+        release.set()
+        slow.join(timeout=10)
+        deadline = time.monotonic() + 5
+        while mb.stats["shed"] < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert mb.stats["shed"] == 1
+        assert mb.stats["requests"] == 1  # only the served one
+        assert len(pred.calls) == 1  # no device call for the shed one
+    finally:
+        release.set()
         mb.close()
 
 

@@ -84,8 +84,8 @@ def main():
         for i, path in enumerate(paths):
             img = imread(path, float32=False)
             if i == 0:  # compile synchronously, excluded from timing
-                write_pool.submit(write_out,
-                                  pred.restore(img, output="uint8"), path)
+                writes.append(write_pool.submit(
+                    write_out, pred.restore(img, output="uint8"), path))
                 t0 = time.time()
                 continue
             mp += img.shape[0] * img.shape[1] / 1e6

@@ -69,12 +69,17 @@ def main():
         mesh=make_mesh(args.mesh) if args.mesh else None)
     if args.warmup_hw:
         # compile every power-of-two batch size the micro-batcher can
-        # form at this bucket, so no client request ever pays a jit
+        # form at this bucket — BOTH ratio modes (?ratio= requests hit a
+        # separate jit program) — so no client request ever pays a jit
         h, w = (int(v) for v in args.warmup_hw.split(","))
         b = 1
         while True:
-            pred.restore(np.zeros((b, h, w, 3), np.uint8), output="uint8")
-            print(f"warmed up at {h}x{w} batch {b}", flush=True)
+            x = np.zeros((b, h, w, 3), np.uint8)
+            pred.restore(x, output="uint8")
+            pred.restore(x, ratio=np.full((b,), 0.5, np.float32),
+                         output="uint8")
+            print(f"warmed up at {h}x{w} batch {b} (both ratio modes)",
+                  flush=True)
             if b >= args.max_batch:
                 break
             b = min(b * 2, args.max_batch)
