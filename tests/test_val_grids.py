@@ -119,3 +119,42 @@ def test_lpnet_ratio_validation_runs():
           for _ in range(2)]
     res = lpnet_ratio_validation(tr, ds)
     assert np.isfinite(res["ratio_l1"]) and res["ratio_l1"] >= 0
+
+
+def test_validate_batched_matches_serial(rng, tmp_path):
+    """validate(predict_batch_fn=..., batch_size=N): consecutive
+    same-shape images stack into one forward (the dist_test.sh mesh
+    analog); metrics equal the serial path exactly, and groups split at
+    shape boundaries and the batch cap."""
+    from fdn_tip2025_tpu.train.validation import validate
+
+    def mk(shape, i):
+        lq = rng.random(shape, dtype=np.float32)
+        return {"lq": lq, "gt": np.clip(lq * 2, 0, 1),
+                "lq_path": f"{i:03d}.png"}
+
+    samples = [mk((24, 32, 3), i) for i in range(5)]
+    samples += [mk((16, 16, 3), i + 5) for i in range(2)]
+
+    class DS:
+        def __len__(self):
+            return len(samples)
+
+        def __getitem__(self, i):
+            return samples[i]
+
+    def predict(lq, gt=None):
+        return np.tanh(np.asarray(lq) * 2.0)
+
+    sizes = []
+
+    def predict_batch(lqs, gts=None):
+        sizes.append(lqs.shape[0])
+        return np.tanh(lqs * 2.0)
+
+    metrics = {"psnr": {"type": "calculate_psnr", "crop_border": 0}}
+    serial = validate(predict, DS(), metrics)
+    batched = validate(predict, DS(), metrics,
+                       predict_batch_fn=predict_batch, batch_size=4)
+    assert sizes == [4, 1, 2]
+    np.testing.assert_allclose(batched["psnr"], serial["psnr"], rtol=1e-12)

@@ -27,6 +27,14 @@ def main():
                          "protocol (image_restoration_model.py:649-658)")
     ap.add_argument("--save-img", action="store_true")
     ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard eval batches over the first N devices — "
+                         "the dist_test.sh multi-GPU analog (per-rank "
+                         "image sharding, "
+                         "image_restoration_model.py:728-731)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="stack this many same-shape images per forward "
+                         "(default: mesh size, or 1)")
     args = ap.parse_args()
 
     import jax
@@ -51,8 +59,12 @@ def main():
 
         variant = "lolv1" if opt.get("network_g", {}).get("type") == \
             "FDN_lolv1" else "lolblur"
+        mesh = None
+        if args.mesh:
+            from fdn_tip2025_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(args.mesh)
         pred = FDNPredictor(variant=variant, fdn_ckpt=args.ckpt,
-                            lpnet_ckpt=args.lpnet_ckpt)
+                            lpnet_ckpt=args.lpnet_ckpt, mesh=mesh)
         val_opt = opt.get("val", {}) or {}
         use_grids = bool(val_opt.get("grids"))
 
@@ -75,27 +87,45 @@ def main():
                                  crop_h, crop_w,
                                  batch_size=val_opt.get("max_minibatch"))
 
-        if args.lpnet_ckpt:
-            # inference protocol: LPNet-predicted ratio
-            # (inference_fdn_lolblur.py:65-71 / lolv1:58-64)
-            def predict(lq, gt=None):
-                r = float(pred.predict_ratio(lq)[0, 0])
+        def _ratios(lqs, gts):
+            """Per-image ratio vector, either protocol."""
+            if args.lpnet_ckpt:
+                # inference protocol: LPNet-predicted ratio
+                # (inference_fdn_lolblur.py:65-71 / lolv1:58-64)
+                r = pred.predict_ratio(lqs)[:, 0]
                 if variant == "lolv1":
-                    r = float(np.mean(np.asarray(
-                        grayscale(jnp.asarray(lq)[None])))) / r
-                return _restore(lq, r)
-        else:
+                    gray = np.mean(np.asarray(
+                        grayscale(jnp.asarray(lqs, jnp.float32))),
+                        axis=(1, 2, 3))
+                    r = gray / r
+                return r
             # reference test protocol: ratio = mean(gray lq)/mean(gray gt)
             # (image_restoration_model.py:649-658). Never evaluate with a
             # randomly-initialized LPNet.
-            def predict(lq, gt=None):
-                if gt is None:
-                    raise SystemExit(
-                        "GT-ratio test protocol needs paired GT; pass "
-                        "--lpnet-ckpt for the LPNet-ratio protocol")
-                r = (np.mean(np.asarray(grayscale(jnp.asarray(lq)[None])))
-                     / np.mean(np.asarray(grayscale(jnp.asarray(gt)[None]))))
-                return _restore(lq, r)
+            if gts is None:
+                raise SystemExit(
+                    "GT-ratio test protocol needs paired GT; pass "
+                    "--lpnet-ckpt for the LPNet-ratio protocol")
+            g = grayscale(jnp.asarray(lqs, jnp.float32))
+            t = grayscale(jnp.asarray(gts, jnp.float32))
+            return (np.mean(np.asarray(g), axis=(1, 2, 3))
+                    / np.mean(np.asarray(t), axis=(1, 2, 3)))
+
+        def predict(lq, gt=None):
+            r = float(_ratios(
+                np.asarray(lq)[None],
+                None if gt is None else np.asarray(gt)[None])[0])
+            return _restore(lq, r)
+
+        def predict_batch(lqs, gts=None):
+            # the dist_test.sh analog: one batched forward, sharded over
+            # --mesh devices by FDNPredictor (batch zero-padded to a mesh
+            # multiple; per-image work is independent)
+            r = _ratios(lqs, gts)
+            return pred.restore(lqs, ratio=np.asarray(r, np.float32))
+        batch = args.batch or (args.mesh if args.mesh else 1)
+        if use_grids:
+            batch = 1  # grids route restores one image's tiles at a time
     elif model_type == "ImageRestorationModel_ipretrain":
         import numpy as np
         import jax.numpy as jnp
@@ -114,6 +144,8 @@ def main():
             ratio = ratio[:, None, None, None]
             x, hw = pad_to_multiple(x, 32)
             return np.asarray(unpad(jfwd(params, x, ratio), hw))[0]
+
+        predict_batch, batch = None, 1
     else:
         raise SystemExit(f"test.py does not support {model_type}")
 
@@ -124,7 +156,9 @@ def main():
         save_dir = os.path.join(opt["path"]["visualization"], phase) \
             if args.save_img else None
         res = validate(predict, ds, opt.get("val", {}).get("metrics", {}),
-                       save_dir=save_dir, max_images=args.max_images)
+                       save_dir=save_dir, max_images=args.max_images,
+                       predict_batch_fn=predict_batch if batch > 1
+                       else None, batch_size=batch)
         logger.info(f"{phase}: " + ", ".join(
             f"{k}: {v:.4f}" for k, v in res.items()))
 
