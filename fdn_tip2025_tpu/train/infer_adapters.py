@@ -97,6 +97,49 @@ def make_predict_fn(model_type, trainer, val_opt=None, fdn_params=None):
             return tiled_restore(tile_fwd, lq_np, crop_h, crop_w,
                                  batch_size=val_opt.get("max_minibatch"))
 
+        mesh = getattr(trainer, "mesh", None)
+        n_dev = mesh.devices.size if mesh is not None else 1
+
+        def predict_batch(lqs, gts=None):
+            """Batched validation forward (the dist_validation analog,
+            image_restoration_model.py:728-731): same-shape images stack
+            into one program, sharded over the trainer's mesh. Used by
+            validate(batch_size=...) via predict.batch."""
+            x = jnp.asarray(lqs, jnp.float32)
+            g = None if gts is None else jnp.asarray(gts, jnp.float32)
+            b = x.shape[0]
+            ratio = jnp.mean(grayscale(x), axis=(1, 2, 3))[:, None]
+            if use_ratio and g is not None:
+                ratio = ratio / jnp.mean(grayscale(g),
+                                         axis=(1, 2, 3))[:, None]
+            pad_n = (-b) % n_dev  # even shard per device
+            if pad_n:
+                x = jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad_n, axis=0)])
+                ratio = jnp.concatenate(
+                    [ratio, jnp.repeat(ratio[-1:], pad_n, axis=0)])
+            x, hw = pad_to_multiple(x, 32)
+
+            def f_batch(p, x, r):
+                return fwd(p, x, r)[0]
+
+            ck = (x.shape, "f_batch")
+            if ck not in cache:
+                jit_kw = {}
+                if mesh is not None and n_dev > 1:
+                    from fdn_tip2025_tpu.parallel.mesh import (
+                        batch_sharding, replicated,
+                    )
+                    jit_kw = dict(
+                        in_shardings=(replicated(mesh),
+                                      batch_sharding(mesh),
+                                      batch_sharding(mesh)),
+                        out_shardings=batch_sharding(mesh))
+                cache[ck] = jax.jit(f_batch, **jit_kw)
+            out = cache[ck](params, x, ratio)
+            return np.asarray(unpad(out, hw))[:b]
+
+        predict.batch = None if use_grids else predict_batch
         return predict
 
     if model_type == "ImageRestorationModel_ipretrain":

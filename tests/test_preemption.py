@@ -100,16 +100,23 @@ def test_sigterm_checkpoints_and_resumes(tmp_path, rng):
     assert os.path.isdir(states) and os.listdir(states), \
         "no training state saved on SIGTERM"
 
-    # relaunch: auto-resume scan must pick the preemption state
+    # relaunch: auto-resume scan must pick the preemption state, AND a
+    # post-resume step must actually run — restoring the optimizer state
+    # without its optax NamedTuple structure crashes on the first
+    # tx.update (caught live: orbax returns plain dicts unless restored
+    # against a template)
     proc2 = launch()
     try:
-        resumed = False
+        resumed = stepped = False
         for line in proc2.stdout:
             if "resumed from" in line:
                 resumed = True
+            if resumed and "iter:" in line and "lr:" in line:
+                stepped = True
                 proc2.send_signal(signal.SIGTERM)
                 break
         assert resumed, "relaunch did not auto-resume"
+        assert stepped, "no train step completed after resume"
         proc2.wait(timeout=180)
     finally:
         if proc2.poll() is None:

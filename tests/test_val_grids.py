@@ -158,3 +158,32 @@ def test_validate_batched_matches_serial(rng, tmp_path):
                        predict_batch_fn=predict_batch, batch_size=4)
     assert sizes == [4, 1, 2]
     np.testing.assert_allclose(batched["psnr"], serial["psnr"], rtol=1e-12)
+
+
+def test_predict_batch_matches_serial_on_mesh(monkeypatch):
+    """make_predict_fn's .batch (dist_validation analog): a mesh-sharded
+    batched forward gives the same outputs as the per-image path, with
+    trailing groups padded to an even device shard."""
+    from fdn_tip2025_tpu.parallel.mesh import make_mesh
+
+    def fake_fwd(params, x, ratio):
+        out = x * 2.0 + ratio[:, :, None, None]
+        return out, out, out, out
+
+    monkeypatch.setattr(infer_adapters, "fdn_forward", fake_fwd)
+    rng = np.random.default_rng(2)
+    lqs = rng.random((3, 40, 56, 3)).astype(np.float32)
+    gts = rng.random((3, 40, 56, 3)).astype(np.float32)
+
+    tr = _fake_trainer()
+    tr.mesh = make_mesh(8)
+    predict = make_predict_fn("ImageRestorationModel", tr)
+    serial = np.stack([predict(lq, gt) for lq, gt in zip(lqs, gts)])
+    batched = predict.batch(lqs, gts)  # 3 pads to 8 on the mesh
+    np.testing.assert_allclose(batched, serial, atol=1e-6)
+
+    # grids mode has no batched path (tiles already batch per image)
+    tiled = make_predict_fn(
+        "ImageRestorationModel", tr,
+        val_opt={"grids": True, "crop_size_h": 24, "crop_size_w": 32})
+    assert tiled.batch is None

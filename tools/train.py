@@ -128,7 +128,13 @@ def main():
     state_path = path_opt.get("resume_state") or \
         find_latest_state(opt["path"]["training_states"])
     if state_path:
-        state = load_training_state(state_path)
+        # restore against the live trainer structures: without the
+        # template, orbax returns the opt_state as plain dicts and the
+        # first optax update crashes (NamedTuple structure lost)
+        state = load_training_state(state_path, template={
+            "trainable": trainer.trainable, "frozen": trainer.frozen,
+            "opt_state": trainer.opt_state,
+            "meta": {"step": 0, "epoch": 0}})
         trainer.trainable = state["trainable"]
         trainer.frozen = state["frozen"]
         trainer.opt_state = state["opt_state"]
@@ -286,8 +292,18 @@ def _run_val(opt, trainer, logger, tb, step, phase="val"):
     save_dir = os.path.join(opt["path"]["visualization"],
                             f"iter_{step}_{phase}") \
         if opt.get("val", {}).get("save_img") else None
+    # batched validation (val.batch_size, default = mesh size when >1):
+    # same-shape val images stack into one forward sharded over the
+    # training mesh — the reference's per-rank val image sharding
+    # (image_restoration_model.py:728-731)
+    mesh = getattr(trainer, "mesh", None)
+    n_dev = mesh.devices.size if mesh is not None else 1
+    batch = int(val_opt.get("batch_size", 0)) or (n_dev if n_dev > 1
+                                                  else 1)
     res = validate(predict, val_ds, metrics_opt, save_dir=save_dir,
-                   max_images=opt.get("val", {}).get("max_images"))
+                   max_images=opt.get("val", {}).get("max_images"),
+                   predict_batch_fn=getattr(predict, "batch", None)
+                   if batch > 1 else None, batch_size=batch)
     msg = ", ".join(f"{k}: {v:.4f}" for k, v in res.items())
     logger.info(f"validation[{phase}] @ {step}: {msg}")
     if tb:
