@@ -40,6 +40,7 @@ from fdn_tip2025_tpu.train.optim import build_optimizer
 from fdn_tip2025_tpu.parallel.mesh import (
     make_mesh, shard_batch, replicate_tree,
 )
+from jax.sharding import NamedSharding, PartitionSpec
 
 
 def compute_ratio(lq, gt=None, use_ratio=True):
@@ -72,12 +73,25 @@ class BaseTrainer:
     # f32's exponent range). The reference trains f32-only; this is a
     # TPU-native extra (train.mixed_precision: true).
     _AMP_OK = True
+    # gradient accumulation (train.accumulate: K): one optimizer step per
+    # K scan-accumulated micro-batches — numerically the mean-of-means
+    # equals one K-times-larger batch, so the reference's global-batch
+    # recipes run on smaller memory (per-block remat already trades the
+    # other direction). Not in the reference (its answer was "add GPUs").
+    _ACCUM_OK = True
 
     def __init__(self, opt, mesh=None, vgg_params=None):
         self.opt = opt
         self.mesh = mesh if mesh is not None else make_mesh()
         self.use_ratio = bool(opt.get("use_ratio", True))
         train_opt = opt["train"]
+        self.grad_accum = int(train_opt.get("accumulate", 1))
+        if self.grad_accum > 1 and not self._ACCUM_OK:
+            raise ValueError(
+                f"{type(self).__name__}: train.accumulate is unsupported — "
+                "BatchNorm batch statistics make K micro-batches differ "
+                "from one large batch; train LPNet with the real batch "
+                "size (0.4M params, it always fits)")
         self.amp = bool(train_opt.get("mixed_precision", False))
         if self.amp and not self._AMP_OK:
             warnings.warn(
@@ -124,8 +138,9 @@ class BaseTrainer:
         self.frozen = replicate_tree(self.frozen, self.mesh)
         self.opt_state = replicate_tree(self.opt_state, self.mesh)
         self.step = 0
-        self._jit_step = jax.jit(self._train_step,
-                                 donate_argnums=(0, 1))
+        step_fn = (self._train_step_accum if self.grad_accum > 1
+                   else self._train_step)
+        self._jit_step = jax.jit(step_fn, donate_argnums=(0, 1))
 
     # -- subclass API ------------------------------------------------------
     def _build_params(self):
@@ -135,7 +150,7 @@ class BaseTrainer:
         raise NotImplementedError
 
     # ----------------------------------------------------------------------
-    def _train_step(self, trainable, opt_state, frozen, batch):
+    def _wrapped_loss_fn(self):
         loss_fn = self._loss_fn
         if self.amp:
             # cast INSIDE the differentiated fn: grads of the f32->bf16
@@ -143,15 +158,51 @@ class BaseTrainer:
             def loss_fn(tr, fz, b):
                 return self._loss_fn(_to_bf16(tr), _to_bf16(fz),
                                      _to_bf16(b))
+        return loss_fn
+
+    def _train_step(self, trainable, opt_state, frozen, batch):
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(trainable, frozen, batch)
+            self._wrapped_loss_fn(), has_aux=True)(trainable, frozen, batch)
         updates, opt_state = self.tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, aux
 
+    def _train_step_accum(self, trainable, opt_state, frozen, batch):
+        """One optimizer step over K micro-batches (leading axis K).
+
+        Grads accumulate in the params' own dtype (f32 masters under amp);
+        each micro-loss is a batch mean, so the averaged grad equals the
+        grad of one K*mb batch."""
+        loss_fn = self._wrapped_loss_fn()
+
+        def body(gsum, mb):
+            (_, aux), g = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, frozen, mb)
+            return jax.tree.map(jnp.add, gsum, g), aux
+
+        gsum, auxs = jax.lax.scan(
+            body, jax.tree.map(jnp.zeros_like, trainable), batch)
+        grads = jax.tree.map(lambda g: g / self.grad_accum, gsum)
+        updates, opt_state = self.tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, jax.tree.map(jnp.mean, auxs)
+
     def train_step(self, batch):
         batch = {k: v for k, v in batch.items() if k in ("lq", "gt")}
-        batch = shard_batch(batch, self.mesh)
+        if self.grad_accum > 1:
+            k = self.grad_accum
+            sh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            out = {}
+            for name, v in batch.items():
+                if v.shape[0] % k:
+                    raise ValueError(
+                        f"batch size {v.shape[0]} not divisible by "
+                        f"train.accumulate={k}")
+                out[name] = jax.device_put(
+                    v.reshape((k, v.shape[0] // k) + v.shape[1:]), sh)
+            batch = out
+        else:
+            batch = shard_batch(batch, self.mesh)
         self.trainable, self.opt_state, aux = self._jit_step(
             self.trainable, self.opt_state, self.frozen, batch)
         self.step += 1
@@ -263,6 +314,7 @@ class LPNetTrainer(BaseTrainer):
     """model_type: ImageRestorationModel_ipred — ratio regression."""
 
     _AMP_OK = False  # scalar-ratio regressor stays f32 (serving policy)
+    _ACCUM_OK = False  # BN batch stats: K micro-batches != one big batch
 
     def _build_params(self):
         self.trainable = init_ipredict(self.key)
