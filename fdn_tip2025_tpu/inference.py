@@ -121,50 +121,63 @@ class FDNPredictor:
                     in_shardings=(rep, bsh, bsh) if with_ratio
                     else (rep, rep, bsh),
                     out_shardings=bsh)
-
-            def pre(x):
-                # uint8 wire format: normalize on-device in f32, so the
-                # tunnel/PCIe ships 1 byte/px instead of 4. Matches the
-                # host f32 divide to <=1 ULP (XLA lowers x/255 to
-                # x*(1/255)) — far below the 1/255 quantization the
-                # uint8 wire carries by construction
-                if from_uint8:
-                    x = x.astype(jnp.float32) / 255.0
-                return x.astype(self.dtype)
-
-            def post(out):
-                # uint8 egress matches tensor2img exactly (clip 0..1,
-                # *255, round-half-even — img_util.py:41-118); the
-                # reference's own eval protocol quantizes to uint8 at
-                # imwrite time, so this is lossless w.r.t. saved PNGs
-                if to_uint8:
-                    of = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
-                    return jnp.round(of * 255.0).astype(jnp.uint8)
-                return out
-
-            if with_ratio:
-                def fn(fdn_p, x, ratio):
-                    return post(self._traced_fwd(fdn_p, pre(x), ratio)[0])
-
-                self._jit_cache[key] = jax.jit(fn, **jit_kw)
-            else:
-                def fn(fdn_p, lp_p, x):
-                    # LPNet always runs f32 (trained head; bf16 shifts
-                    # the ratio ~1% which the gamma exponent amplifies)
-                    x = pre(x)
-                    xf = x.astype(jnp.float32)
-                    pred = ipredict_forward(lp_p, xf)
-                    if self.variant == "lolv1":
-                        gray = jnp.mean(grayscale(xf), axis=(1, 2, 3),
-                                        keepdims=False)[:, None]
-                        ratio = gray / pred
-                    else:
-                        ratio = pred
-                    return post(self._traced_fwd(fdn_p, x,
-                                                 ratio.astype(x.dtype))[0])
-
-                self._jit_cache[key] = jax.jit(fn, **jit_kw)
+            fn = self._build_fn(with_ratio, from_uint8, to_uint8)
+            self._jit_cache[key] = jax.jit(fn, **jit_kw)
         return self._jit_cache[key]
+
+    def _build_fn(self, with_ratio, from_uint8, to_uint8):
+        """The (unjitted) serving program for one wire configuration:
+        (fdn_p, x, ratio) when with_ratio else (fdn_p, lp_p, x). Shared by
+        the jit cache above and by AOT export (fdn_tip2025_tpu.export)."""
+
+        def pre(x):
+            # uint8 wire format: normalize on-device in f32, so the
+            # tunnel/PCIe ships 1 byte/px instead of 4. Matches the
+            # host f32 divide to <=1 ULP (XLA lowers x/255 to
+            # x*(1/255)) — far below the 1/255 quantization the
+            # uint8 wire carries by construction
+            if from_uint8:
+                x = x.astype(jnp.float32) / 255.0
+            return x.astype(self.dtype)
+
+        def post(out):
+            # uint8 egress matches tensor2img exactly (clip 0..1,
+            # *255, round-half-even — img_util.py:41-118); the
+            # reference's own eval protocol quantizes to uint8 at
+            # imwrite time, so this is lossless w.r.t. saved PNGs
+            if to_uint8:
+                of = jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+                return jnp.round(of * 255.0).astype(jnp.uint8)
+            return out
+
+        if with_ratio:
+            def fn(fdn_p, x, ratio):
+                return post(self._traced_fwd(fdn_p, pre(x), ratio)[0])
+
+            return fn
+
+        def fn(fdn_p, lp_p, x):
+            # LPNet always runs f32 (trained head; bf16 shifts
+            # the ratio ~1% which the gamma exponent amplifies)
+            x = pre(x)
+            xf = x.astype(jnp.float32)
+            pred = ipredict_forward(lp_p, xf)
+            if self.variant == "lolv1":
+                gray = jnp.mean(grayscale(xf), axis=(1, 2, 3),
+                                keepdims=False)[:, None]
+                ratio = gray / pred
+            else:
+                ratio = pred
+            return post(self._traced_fwd(fdn_p, x,
+                                         ratio.astype(x.dtype))[0])
+
+        return fn
+
+    def _pad_hw(self, h, w):
+        """Reflect-pad target: pad-to-x32 (the reference's test protocol,
+        image_restoration_model.py:581-583). Exported AOT predictors
+        override this to pad up to their fixed compiled buckets."""
+        return (-h) % 32, (-w) % 32
 
     def restore(self, img, ratio=None, output="float32"):
         """img: (H,W,3) or (B,H,W,3) RGB — float32 in [0,1] or uint8
@@ -198,7 +211,7 @@ class FDNPredictor:
                                    img.dtype)], axis=0)
         # x32 reflect pad on the HOST (numpy) — avoids an eager device
         # dispatch per request; semantics identical to ops.pad_to_multiple
-        ph, pw = (-h) % 32, (-w) % 32
+        ph, pw = self._pad_hw(h, w)
         if ph or pw:
             img = np.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)),
                          mode="reflect")

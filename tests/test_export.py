@@ -1,0 +1,95 @@
+"""AOT export (.fdnx) roundtrip: the exported programs must reproduce the
+live predictor's serving semantics (pad-to-bucket, uint8 wire, crop-back).
+
+Plumbing is asserted with a deterministic stand-in forward (full-FDN
+cross-program comparisons with random weights are meaningless — measured
+chaos, OPTIMIZATIONS.md round-2); one test exports the real FDN graph and
+checks structure/finiteness only."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fdn_tip2025_tpu.inference import FDNPredictor
+from fdn_tip2025_tpu.export import save_exported, load_exported
+
+
+@pytest.fixture(scope="module")
+def det_predictor():
+    pred = FDNPredictor(
+        variant="lolblur",
+        lpnet_ckpt="/root/reference/checkpoint/LPNet_lolblur.pth")
+
+    def fake_fwd(params, x, ratio):
+        # deterministic, shape-preserving, ratio- and param-sensitive
+        import jax
+        leaf = jax.tree_util.tree_leaves(params)[0]
+        scale = jnp.sum(leaf).astype(x.dtype) * 0 + 2.0
+        out = x * scale + ratio[:, :, None, None] * 0.125
+        return (out,)
+
+    pred._fdn_fwd = fake_fwd
+    return pred
+
+
+def _expected(img_u8, ratio):
+    x = img_u8.astype(np.float32) / 255.0
+    out = x * 2.0 + ratio * 0.125
+    return np.round(np.clip(out, 0, 1) * 255.0).astype(np.uint8)
+
+
+def test_export_roundtrip_uint8(det_predictor, tmp_path, rng):
+    path = tmp_path / "m.fdnx"
+    meta = save_exported(path, det_predictor,
+                         [(1, 32, 64), (2, 32, 32)], with_ratio=True)
+    assert len(meta["buckets"]) == 4
+    m = load_exported(path)
+    assert m.variant == "lolblur"
+    assert (1, 32, 64, False) in m._exp
+
+    img = (rng.random((32, 64, 3)) * 255).astype(np.uint8)
+    # explicit-ratio program: output must match the stand-in exactly
+    out = m.restore(img, ratio=0.4)
+    np.testing.assert_array_equal(out, _expected(img, 0.4))
+
+    # LPNet-in-graph program: ratio comes from the real (trained) LPNet —
+    # compare against the live predictor running the same program
+    live = det_predictor.restore(img, output="uint8")
+    got = m.restore(img)
+    np.testing.assert_array_equal(got, live)
+
+
+def test_export_pads_to_covering_bucket(det_predictor, tmp_path, rng):
+    path = tmp_path / "m.fdnx"
+    save_exported(path, det_predictor, [(1, 32, 64)], with_ratio=True)
+    m = load_exported(path)
+    img = (rng.random((20, 50, 3)) * 255).astype(np.uint8)  # pads to 32x64
+    out = m.restore(img, ratio=0.25)
+    assert out.shape == (20, 50, 3)
+    np.testing.assert_array_equal(out, _expected(img, 0.25))
+
+    with pytest.raises(ValueError, match="exceeds every exported bucket"):
+        m.restore((rng.random((40, 40, 3)) * 255).astype(np.uint8))
+    with pytest.raises(ValueError, match="no exported program"):
+        m.restore(np.stack([img] * 3), ratio=0.25)  # batch 3 never exported
+    with pytest.raises(ValueError, match="exported for uint8"):
+        m.restore(img.astype(np.float32) / 255.0, ratio=0.25)
+
+
+def test_export_real_fdn_graph(tmp_path, rng):
+    """Export the real FDN serving program (random weights): structural
+    check only — chaos makes cross-program value comparison meaningless
+    with random weights; trained-weights validation is the cross_check
+    protocol."""
+    pred = FDNPredictor(
+        variant="lolblur",
+        lpnet_ckpt="/root/reference/checkpoint/LPNet_lolblur.pth")
+    path = tmp_path / "fdn.fdnx"
+    save_exported(path, pred, [(1, 32, 32)])
+    m = load_exported(path)
+    img = (rng.random((32, 32, 3)) * 80).astype(np.uint8)
+    out = m.restore(img)
+    assert out.shape == (32, 32, 3) and out.dtype == np.uint8
+    # uint8 output is finite by construction; assert it is non-constant
+    assert out.std() > 0
