@@ -152,6 +152,23 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
         if disp in ("1", "both", "dw") and groups == x.shape[-1] \
                 and w.shape[2] == 1:
             return _depthwise_stencil(x, w, b, padding, groups)
+    if (groups > 1 and groups == x.shape[-1] and w.shape[2] == 1
+            and w.shape[3] != groups and w.shape[3] % groups == 0
+            and jax.default_backend() == "tpu"
+            and os.environ.get("FDN_DW_M1", "1") == "1"):
+        # Depthwise conv with channel multiplier m>1 (FDFFN/FCAFFN dwconv:
+        # hidden -> 2*hidden, groups=hidden): XLA lowers the (G, m)
+        # feature-group form into T(2,128) half-sublane tiles and re-lays
+        # the result at every block — the largest sync copies in the whole
+        # forward (1.25 ms/step for the level-1 Fuse alone). Rewriting as
+        # a multiplier-1 depthwise conv over an m-duplicated input keeps
+        # everything in native T(8,128) tiles. Same taps, same order:
+        # torch output o belongs to group o//m, and repeat puts input
+        # channel o//m at position o. Measured +7% bf16 serving
+        # (0.839 -> 0.9 MP/s class, see OPTIMIZATIONS.md round-5).
+        m = w.shape[3] // groups
+        x = jnp.repeat(x, m, axis=-1)
+        groups = w.shape[3]
     pad = [(padding[0], padding[0]), (padding[1], padding[1])]
 
     def core(xx, ww, prec=None):

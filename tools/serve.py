@@ -33,6 +33,13 @@ def main():
                     choices=["lolblur", "lolv1"])
     ap.add_argument("--fdn-ckpt", default=None)
     ap.add_argument("--lpnet-ckpt", default=None)
+    ap.add_argument("--artifact", default=None,
+                    help="serve a .fdnx AOT artifact (tools/"
+                         "export_model.py) instead of loading "
+                         "checkpoints: fixed buckets, no model re-trace; "
+                         "export batches up to --max-batch and a uint8 "
+                         "wire. Overrides --fdn-ckpt/--lpnet-ckpt/"
+                         "--dtype; tiling and --mesh are unavailable")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--mesh", type=int, default=0,
@@ -59,15 +66,47 @@ def main():
     from fdn_tip2025_tpu.parallel.mesh import make_mesh
     from fdn_tip2025_tpu.serving import MicroBatcher, make_http_server
 
-    if args.fdn_ckpt is None:
-        print("WARNING: no --fdn-ckpt — serving RANDOM FDN weights "
-              "(smoke mode only)", flush=True)
-    pred = FDNPredictor(
-        variant=args.variant, fdn_ckpt=args.fdn_ckpt,
-        lpnet_ckpt=args.lpnet_ckpt,
-        dtype=jnp.dtype(args.dtype),
-        mesh=make_mesh(args.mesh) if args.mesh else None)
-    if args.warmup_hw:
+    if args.artifact:
+        from fdn_tip2025_tpu.export import load_exported
+        if args.mesh:
+            ap.error("--artifact serves single-device programs (no --mesh)")
+        pred = load_exported(args.artifact)
+        if not pred._from_uint8 or not pred._to_uint8:
+            ap.error("the serving daemon needs a uint8-wire artifact "
+                     "(tools/export_model.py --wire uint8)")
+        args.tile_above_mp = 0  # tiled restore needs the live model code
+        # the micro-batcher pads groups to power-of-two batches: clamp
+        # --max-batch to the largest pow2 chain every exported (h, w)
+        # bucket actually provides
+        sizes = {(h, w) for _, h, w, wr in pred.buckets() if not wr}
+        mb = 1
+        while mb * 2 <= args.max_batch and all(
+                (mb * 2, h, w, False) in pred._exp for h, w in sizes):
+            mb *= 2
+        if mb != args.max_batch:
+            print(f"--max-batch clamped to {mb}: the artifact exports "
+                  f"batches {sorted({b for b, _, _, wr in pred.buckets() if not wr})}",
+                  flush=True)
+            args.max_batch = mb
+        for batch, h, w, with_ratio in pred.buckets():
+            x = np.zeros((batch, h, w, 3), np.uint8)
+            if with_ratio:
+                pred.restore(x, ratio=np.full((batch,), 0.5, np.float32))
+            else:
+                pred.restore(x)
+            print(f"warmed artifact bucket {h}x{w} batch {batch} "
+                  f"ratio={'explicit' if with_ratio else 'lpnet'}",
+                  flush=True)
+    else:
+        if args.fdn_ckpt is None:
+            print("WARNING: no --fdn-ckpt — serving RANDOM FDN weights "
+                  "(smoke mode only)", flush=True)
+        pred = FDNPredictor(
+            variant=args.variant, fdn_ckpt=args.fdn_ckpt,
+            lpnet_ckpt=args.lpnet_ckpt,
+            dtype=jnp.dtype(args.dtype),
+            mesh=make_mesh(args.mesh) if args.mesh else None)
+    if args.warmup_hw and not args.artifact:
         # compile every power-of-two batch size the micro-batcher can
         # form at this bucket — BOTH ratio modes (?ratio= requests hit a
         # separate jit program) — so no client request ever pays a jit
@@ -93,7 +132,8 @@ def main():
         tile_crop=args.tile_crop)
     srv = make_http_server(batcher, args.host, args.port)
     print(f"serving on {args.host}:{args.port} "
-          f"(dtype={args.dtype}, mesh={args.mesh or 1})", flush=True)
+          f"(dtype={np.dtype(pred.dtype).name}, mesh={args.mesh or 1}"
+          f"{', artifact' if args.artifact else ''})", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
