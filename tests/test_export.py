@@ -93,3 +93,37 @@ def test_export_real_fdn_graph(tmp_path, rng):
     assert out.shape == (32, 32, 3) and out.dtype == np.uint8
     # uint8 output is finite by construction; assert it is non-constant
     assert out.std() > 0
+
+
+def test_artifact_http_serving(det_predictor, tmp_path, rng):
+    """A .fdnx artifact plugged into the micro-batcher + HTTP daemon
+    (tools/serve.py --artifact path): PNG in -> restored PNG out."""
+    import threading
+    import urllib.request
+    import cv2
+
+    from fdn_tip2025_tpu.serving import MicroBatcher, make_http_server
+
+    path = tmp_path / "m.fdnx"
+    save_exported(path, det_predictor, [(1, 32, 64), (2, 32, 64)],
+                  with_ratio=True)
+    m = load_exported(path)
+    mb = MicroBatcher(m, max_batch=2, window_ms=1.0, output="uint8")
+    srv = make_http_server(mb, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        img8 = (rng.random((30, 60, 3)) * 255).astype(np.uint8)
+        ok, png = cv2.imencode(".png", img8[..., ::-1])
+        assert ok
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/restore?ratio=0.25",
+            data=png.tobytes(), method="POST")
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            out8 = cv2.imdecode(np.frombuffer(resp.read(), np.uint8),
+                                cv2.IMREAD_COLOR)[..., ::-1]
+        assert out8.shape == img8.shape
+        np.testing.assert_array_equal(out8, _expected(img8, 0.25))
+    finally:
+        srv.shutdown()
+        mb.close()
