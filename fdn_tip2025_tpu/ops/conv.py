@@ -164,8 +164,13 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
         # a multiplier-1 depthwise conv over an m-duplicated input keeps
         # everything in native T(8,128) tiles. Same taps, same order:
         # torch output o belongs to group o//m, and repeat puts input
-        # channel o//m at position o. Measured +7% bf16 serving
-        # (0.839 -> 0.9 MP/s class, see OPTIMIZATIONS.md round-5).
+        # channel o//m at position o. Measured (OPTIMIZATIONS.md round-5):
+        # bf16 serving is a wash (0.834 vs 0.841 MP/s, within noise), but
+        # the m=1 form is 100x MORE exact in the f32 parity mode: the
+        # (G,m) grouped conv at Precision.HIGH errs 2.4e-5 vs f64 while
+        # m=1 is 2.0e-7 (the 'mixed' policy's "depthwise at HIGH is
+        # f32-exact" claim only ever held for m=1). bf16 outputs are
+        # bit-identical between the two forms.
         m = w.shape[3] // groups
         x = jnp.repeat(x, m, axis=-1)
         groups = w.shape[3]
@@ -192,8 +197,12 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
     elif mode == "mixed":
         # depthwise at HIGH is already f32-exact (1.05e-7 measured — the
         # 3-pass bf16 split loses only the x_lo*w_lo term over 9 taps);
-        # dense convs need HIGHEST for exactness (HIGH: 1.1e-5)
-        dw = groups == x.shape[-1] and w.shape[2] == 1
+        # dense convs need HIGHEST for exactness (HIGH: 1.1e-5). The
+        # multiplier-m>1 grouped form (FDN_DW_M1=0 fallback) is NOT
+        # exact at HIGH (2.4e-5 vs f64, see the m-duplication note
+        # above) — require w.shape[3] == groups so it takes HIGHEST.
+        dw = (groups == x.shape[-1] and w.shape[2] == 1
+              and w.shape[3] == groups)
         y = core(x, w, lax.Precision.HIGH if dw else lax.Precision.HIGHEST)
     else:
         y = core(x, w)
