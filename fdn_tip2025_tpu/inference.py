@@ -29,7 +29,7 @@ from fdn_tip2025_tpu.checkpoint import load_model_from_pth
 from fdn_tip2025_tpu.checkpoint.manager import load_network
 from fdn_tip2025_tpu.ops import grayscale
 from fdn_tip2025_tpu.parallel.mesh import (
-    batch_sharding, replicated, replicate_tree,
+    batch_sharding, replicated, replicate_tree, spatial_sharding,
 )
 
 
@@ -44,8 +44,10 @@ def _load_params(path, template):
 class FDNPredictor:
     """End-to-end FDN inference: LPNet ratio -> FDN restore."""
 
+    spatial = False  # class default: tests/export build via __new__
+
     def __init__(self, variant="lolblur", fdn_ckpt=None, lpnet_ckpt=None,
-                 key=None, dtype=jnp.float32, mesh=None):
+                 key=None, dtype=jnp.float32, mesh=None, spatial=False):
         """dtype: serving dtype. float32 is the parity mode. bfloat16
         serves MAR+FDformer in bf16 while LPNet (the trained ratio head:
         bf16 shifts its ratio ~1%, which the gamma exponent amplifies
@@ -64,7 +66,16 @@ class FDNPredictor:
         mesh size (padded outputs dropped). Per-image work is fully
         independent, so DP serving scales linearly over ICI (the
         multi-GPU analog the reference gets from dist_test.sh's
-        per-rank image sharding, image_restoration_model.py:728-731)."""
+        per-rank image sharding, image_restoration_model.py:728-731).
+
+        spatial (requires mesh): shard each image's H (row) dimension
+        over the mesh instead of the batch dim — the sequence-parallel
+        analog (SURVEY.md §2.8). GSPMD inserts halo exchanges for the
+        convs/patch ops and collectives for the full-image DFT matmuls,
+        so ONE image's forward spreads across chips: this is the
+        per-request LATENCY lever (DP `mesh` alone only adds
+        throughput). Images pad to x(32*lcm-with-mesh) rows so shards
+        stay even."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.variant = variant
@@ -83,6 +94,9 @@ class FDNPredictor:
                 lambda a: a.astype(dtype)
                 if a.dtype == jnp.float32 else a, self.fdn_params)
         self.mesh = mesh
+        if spatial and mesh is None:
+            raise ValueError("spatial=True requires a mesh")
+        self.spatial = bool(spatial)
         if mesh is not None:
             self.fdn_params = replicate_tree(self.fdn_params, mesh)
             self.lpnet_params = replicate_tree(self.lpnet_params, mesh)
@@ -116,11 +130,21 @@ class FDNPredictor:
         if key not in self._jit_cache:
             jit_kw = {}
             if self.mesh is not None:
-                rep, bsh = replicated(self.mesh), batch_sharding(self.mesh)
-                jit_kw = dict(
-                    in_shardings=(rep, bsh, bsh) if with_ratio
-                    else (rep, rep, bsh),
-                    out_shardings=bsh)
+                rep = replicated(self.mesh)
+                if self.spatial:
+                    # one image split row-wise across the mesh; the
+                    # (B, 1) ratio stays replicated
+                    ssh = spatial_sharding(self.mesh)
+                    jit_kw = dict(
+                        in_shardings=(rep, ssh, rep) if with_ratio
+                        else (rep, rep, ssh),
+                        out_shardings=ssh)
+                else:
+                    bsh = batch_sharding(self.mesh)
+                    jit_kw = dict(
+                        in_shardings=(rep, bsh, bsh) if with_ratio
+                        else (rep, rep, bsh),
+                        out_shardings=bsh)
             fn = self._build_fn(with_ratio, from_uint8, to_uint8)
             self._jit_cache[key] = jax.jit(fn, **jit_kw)
         return self._jit_cache[key]
@@ -176,8 +200,14 @@ class FDNPredictor:
     def _pad_hw(self, h, w):
         """Reflect-pad target: pad-to-x32 (the reference's test protocol,
         image_restoration_model.py:581-583). Exported AOT predictors
-        override this to pad up to their fixed compiled buckets."""
-        return (-h) % 32, (-w) % 32
+        override this to pad up to their fixed compiled buckets.
+        Spatial-sharded predictors additionally pad H so every mesh
+        shard gets the same whole number of rows."""
+        mod_h = 32
+        if self.spatial:
+            import math
+            mod_h = math.lcm(32, self.mesh.devices.size)
+        return (-h) % mod_h, (-w) % 32
 
     def restore(self, img, ratio=None, output="float32"):
         """img: (H,W,3) or (B,H,W,3) RGB — float32 in [0,1] or uint8
@@ -201,7 +231,7 @@ class FDNPredictor:
         img = np.asarray(img)
         from_uint8 = img.dtype == np.uint8
         n_real, h, w = img.shape[:3]
-        if self.mesh is not None:
+        if self.mesh is not None and not self.spatial:
             # batch zero-padded to a mesh multiple so the shard is even
             n_dev = self.mesh.devices.size
             pad_n = (-n_real) % n_dev

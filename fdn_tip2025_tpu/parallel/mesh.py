@@ -34,6 +34,15 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh, axis="data"):
+    """Shard the H dimension of an NHWC image over the mesh — the
+    sequence-parallel analog for an image model (SURVEY.md §2.8): one
+    image's rows split across chips, GSPMD inserts halo exchanges for
+    the convs and collectives for the full-image DFT matmuls / global
+    reductions. Lowers per-image latency instead of batch throughput."""
+    return NamedSharding(mesh, P(None, axis, None, None))
+
+
 def shard_batch(batch, mesh, axis="data", keys=("lq", "gt")):
     """device_put the array entries of a batch dict, batch-sharded."""
     sh = batch_sharding(mesh, axis)

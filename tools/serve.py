@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="shard batches over the first N devices (0 = "
                          "single device)")
+    ap.add_argument("--spatial", action="store_true",
+                    help="with --mesh N: shard each image's ROWS over "
+                         "the mesh instead of the batch dim (sequence-"
+                         "parallel analog) — lowers per-request latency "
+                         "rather than adding batch throughput; forces "
+                         "--max-batch 1")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8700)
     ap.add_argument("--max-batch", type=int, default=8)
@@ -68,8 +74,9 @@ def main():
 
     if args.artifact:
         from fdn_tip2025_tpu.export import load_exported
-        if args.mesh:
-            ap.error("--artifact serves single-device programs (no --mesh)")
+        if args.mesh or args.spatial:
+            ap.error("--artifact serves single-device programs "
+                     "(no --mesh/--spatial)")
         pred = load_exported(args.artifact)
         if not pred._from_uint8 or not pred._to_uint8:
             ap.error("the serving daemon needs a uint8-wire artifact "
@@ -101,11 +108,17 @@ def main():
         if args.fdn_ckpt is None:
             print("WARNING: no --fdn-ckpt — serving RANDOM FDN weights "
                   "(smoke mode only)", flush=True)
+        if args.spatial and not args.mesh:
+            ap.error("--spatial requires --mesh N")
+        if args.spatial:
+            # all devices work on one image; batching would serialize
+            args.max_batch = 1
         pred = FDNPredictor(
             variant=args.variant, fdn_ckpt=args.fdn_ckpt,
             lpnet_ckpt=args.lpnet_ckpt,
             dtype=jnp.dtype(args.dtype),
-            mesh=make_mesh(args.mesh) if args.mesh else None)
+            mesh=make_mesh(args.mesh) if args.mesh else None,
+            spatial=args.spatial)
     if args.warmup_hw and not args.artifact:
         # compile every power-of-two batch size the micro-batcher can
         # form at this bucket — BOTH ratio modes (?ratio= requests hit a
