@@ -23,7 +23,8 @@ benchmarks/artifacts/cross_check_r2.json). Mode table on v5e
                                         (X6 dots, mixed-precision convs)
 
 Batched serving (r1 regression fixed by the channel-major FDSA): bf16
-batch 2 = 0.738, batch 4 = 0.719 MP/s per image (89%/87% efficiency).
+batch 2 = 0.738, batch 4 = 0.719 MP/s AGGREGATE (89%/87% of batch-1 —
+batching still costs a little; single image per chip is the optimum).
 
 vs_baseline: the reference publishes NO throughput numbers
 (BASELINE.md); the baseline is the PyTorch reference's own
