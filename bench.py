@@ -1,7 +1,12 @@
 #!/usr/bin/env python
 """Headline benchmark: FDN inference throughput (megapixels/sec/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "modes"}.
+"value" is the pinned headline mode (FDN_BENCH_MODE, default bf16 — keep
+it fixed across rounds so the BENCH_r0N series is like-for-like);
+"modes" carries all three modes' MP/s as secondary context rows
+(measured in-process with fewer iters; null if a mode fails or the
+FDN_BENCH_BUDGET_S wall-clock budget runs out first).
 
 Protocol: full FDN forward (LPNet ratio included) at LOL-Blur test
 resolution 1120x640 (already x32-aligned), batch 1, median over timed
@@ -48,20 +53,26 @@ H, W = 640, 1120
 WARMUP = 2
 ITERS = 8
 
+# Env knobs a mode sets. They are read at TRACE time inside the ops
+# (conv.py / fourier.py / fdformer.py), so one process can measure every
+# mode by setting them before building each mode's jit — as long as each
+# mode gets a FRESH function object (same-identity functions would hit
+# jax's jit cache and silently reuse the first mode's program).
+_MODE_ENV = {
+    "bf16": {"FDN_BENCH_DTYPE": "bfloat16", "FDN_SCAN_UNROLL": "5"},
+    # bf16 conv/DFT operand rounding in f32 — r1's basis
+    "fast": {"FDN_CONV_FAST": "1", "FDN_PATCH_DFT_FAST": "1"},
+    # f32-exact end to end (X6 dots, mixed-precision convs)
+    "parity": {},
+}
+_MODE_KEYS = sorted({k for env in _MODE_ENV.values() for k in env})
 
-def main():
-    mode = os.environ.get("FDN_BENCH_MODE", "bf16")
-    if mode == "fast":
-        os.environ.setdefault("FDN_CONV_FAST", "1")
-        os.environ.setdefault("FDN_PATCH_DFT_FAST", "1")
-    elif mode == "bf16":
-        os.environ.setdefault("FDN_BENCH_DTYPE", "bfloat16")
-        # partial scan unroll wins ~3.5% in bf16 serving (measured twice:
-        # 0.831/0.833 vs 0.802/0.805/0.815; unroll 10 = 0.826, full
-        # unroll slower — OPTIMIZATIONS.md round-3 scan-unroll sweep)
-        os.environ.setdefault("FDN_SCAN_UNROLL", "5")
-    elif mode != "parity":
-        raise SystemExit(f"unknown FDN_BENCH_MODE {mode!r}")
+
+def _measure(mode, iters):
+    """Compile + time one mode in this process. Returns median MP/s."""
+    for k in _MODE_KEYS:
+        os.environ.pop(k, None)
+    os.environ.update(_MODE_ENV[mode])
 
     import numpy as np
     import jax
@@ -72,9 +83,7 @@ def main():
     )
     from fdn_tip2025_tpu.models.ipredict import ipredict_forward
 
-    # FDN_BENCH_DTYPE=bfloat16 benches the bf16 serving mode (LPNet stays
-    # f32; see inference.FDNPredictor docstring for the accuracy caveat).
-    # Default f32 = the parity mode, the headline number.
+    # bf16 serving: LPNet stays f32 (see inference.FDNPredictor).
     dtype = jnp.dtype(os.environ.get("FDN_BENCH_DTYPE", "float32"))
 
     rng = np.random.default_rng(0)
@@ -98,13 +107,15 @@ def main():
     for _ in range(WARMUP - 1):
         fwd(fdn_params, lp_params, x).block_until_ready()
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        fwd(fdn_params, lp_params, x).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[len(times) // 2]
+    def timed(sync):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            sync(fwd(fdn_params, lp_params, x))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
 
+    dt = timed(lambda o: o.block_until_ready())
     # Tunnel-sync guard: through the axon tunnel block_until_ready can
     # return before execution for some programs (observed with Pallas
     # custom calls: a bogus 465 MP/s). Cross-check one iteration with a
@@ -112,22 +123,45 @@ def main():
     # fetch-based sync (honest, slightly pessimistic).
     t0 = time.perf_counter()
     float(fwd(fdn_params, lp_params, x)[0, 0, 0, 0])
-    dt_fetch = time.perf_counter() - t0
-    if dt_fetch > 2 * dt:
-        times = []
-        for _ in range(ITERS):
-            t0 = time.perf_counter()
-            float(fwd(fdn_params, lp_params, x)[0, 0, 0, 0])
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]
-    mps = (H * W / 1e6) / dt
+    if time.perf_counter() - t0 > 2 * dt:
+        dt = timed(lambda o: float(o[0, 0, 0, 0]))
+    return (H * W / 1e6) / dt
+
+
+def main():
+    t_start = time.perf_counter()
+    mode = os.environ.get("FDN_BENCH_MODE", "bf16")
+    if mode not in _MODE_ENV:
+        raise SystemExit(f"unknown FDN_BENCH_MODE {mode!r}")
+
+    mps = _measure(mode, ITERS)
     vs = mps / TORCH_CPU_MPS if TORCH_CPU_MPS > 0 else None
-    print(json.dumps({
+    record = {
         "metric": "fdn_inference_throughput",
         "value": round(mps, 3),
         "unit": "megapixels/sec/chip",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+    }
+    # Secondary rows (VERDICT-r2 #8): pin the series — the headline stays
+    # FDN_BENCH_MODE (default bf16) so BENCH_r0N deltas are like-for-like,
+    # and the other two modes ride along as context — measured in-process
+    # (4 iters) under a wall-clock budget so bench.py can never hang the
+    # driver: a mode that doesn't fit the remaining budget reports null.
+    budget = float(os.environ.get("FDN_BENCH_BUDGET_S", "420"))
+    t_head = time.perf_counter() - t_start  # compile dominates a mode's
+    modes = {mode: record["value"]}         # cost, so each is ~t_head
+    for other in ("bf16", "fast", "parity"):
+        if other == mode:
+            continue
+        if time.perf_counter() - t_start + t_head > budget:
+            modes[other] = None
+            continue
+        try:
+            modes[other] = round(_measure(other, 4), 3)
+        except Exception:
+            modes[other] = None
+    record["modes"] = modes
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

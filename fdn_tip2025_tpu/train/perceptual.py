@@ -48,6 +48,28 @@ def load_vgg19_params(path):
     return params
 
 
+def init_vgg19_params(key, scale=0.05):
+    """Random VGG19 parameters in the load_vgg19_params layout.
+
+    For exercising the perceptual-loss GRADIENT path (the full reference
+    objective, image_restoration_model.py:477-491 / losses.py:764-774)
+    when the pretrained torchvision weights are unavailable — the loss is
+    differentiable through any conv stack, so random filters prove the
+    plumbing end to end. `scale` keeps activations bounded through the
+    16-conv cascade."""
+    params = {}
+    cin = 3
+    for idx, name, cout in VGG19_LAYOUT:
+        key, k = jax.random.split(key)
+        params[name] = {
+            "weight": jax.random.normal(k, (3, 3, cin, cout),
+                                        jnp.float32) * scale,
+            "bias": jnp.zeros((cout,), jnp.float32),
+        }
+        cin = cout
+    return params
+
+
 def _maxpool2(x):
     return lax.reduce_window(
         x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
