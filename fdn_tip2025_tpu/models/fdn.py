@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from fdn_tip2025_tpu.ops import (
     layer_norm_2d, interp_bilinear, rfft2, replace_denormals,
 )
+from fdn_tip2025_tpu.ops.fourier import rfft2_ri
 from fdn_tip2025_tpu.ops.norm import init_layer_norm
 from fdn_tip2025_tpu.models.mar import init_mar, mar_forward
 from fdn_tip2025_tpu.models.fdformer import init_fdformer, fdformer_forward
@@ -46,6 +47,12 @@ def _ln(p, x):
 
 
 def _phase_prior(x):
+    if x.dtype == jnp.bfloat16:
+        # bf16 spectra end to end (operand rounding identical to the f32
+        # fast path; only the stored planes shrink — VERDICT-r2 #1a)
+        re, im = rfft2_ri(x)
+        re, im = replace_denormals((re, im))
+        return jnp.arctan2(im, re)
     f = rfft2(x)
     f = replace_denormals(f)
     return jnp.angle(f).astype(x.dtype)
@@ -54,6 +61,9 @@ def _phase_prior(x):
 def _amp_prior(x):
     # NOTE: deliberately no denormal clamp here (commented out in the
     # reference, FDN_arch.py:902-913).
+    if x.dtype == jnp.bfloat16:
+        re, im = rfft2_ri(x)
+        return jnp.sqrt(re * re + im * im)
     return jnp.abs(rfft2(x)).astype(x.dtype)
 
 

@@ -106,12 +106,26 @@ def fdsa(params, x):
     dwk = params["to_hidden_dw"]["weight"]
     dwb = params["to_hidden_dw"].get("bias")
     c3 = 3 * expand
-    h_qkv = conv2d(hidden[..., :c3], dwk[..., :c3],
-                   None if dwb is None else dwb[:c3],
-                   padding=1, groups=c3)
-    h_vv = conv2d(hidden[..., c3:], dwk[..., c3:],
-                  None if dwb is None else dwb[c3:],
-                  padding=1, groups=expand)
+    if (os.environ.get("FDN_FDSA_DENSE") == "1" and dwb is None
+            and params["to_hidden"].get("bias") is None):
+        # Entry fold: dw3x3(conv1x1(x)) == dense 3x3 conv with kernel
+        # K[dy,dx,i,c] = w1[i,c] * dwk[dy,dx,c] (exact with zero bias —
+        # zero-padding commutes because 1x1 of 0 is 0). Skips the 4E-wide
+        # `hidden` HBM round trip and the grouped-conv lowering; costs
+        # ~7x the entry FLOPs, but on the MXU those are cheap. The
+        # journal's round-4 profile put the serial critical path at this
+        # conv entry — this trades its bytes for matmul work.
+        w1 = params["to_hidden"]["weight"][0, 0]          # (dim, 4E)
+        K = dwk * w1[None, None]                          # (3,3,dim,4E)
+        h_qkv = conv2d(x, K[..., :c3], None, padding=1)
+        h_vv = conv2d(x, K[..., c3:], None, padding=1)
+    else:
+        h_qkv = conv2d(hidden[..., :c3], dwk[..., :c3],
+                       None if dwb is None else dwb[:c3],
+                       padding=1, groups=c3)
+        h_vv = conv2d(hidden[..., c3:], dwk[..., c3:],
+                      None if dwb is None else dwb[c3:],
+                      padding=1, groups=expand)
     b, hh, ww, _ = h_qkv.shape
     n_p = b * (hh // 8) * (ww // 8)
     prec = _patch_dft_precision(h_qkv.dtype)

@@ -14,7 +14,9 @@ from fdn_tip2025_tpu.ops import (
     rfft2_patch8_p40, irfft2_patch8_p40,
     replace_denormals, rfft2, irfft2, gelu,
 )
-from fdn_tip2025_tpu.ops.fourier import amp_phase_ri, polar_ri, amp_phase, polar
+from fdn_tip2025_tpu.ops.fourier import (
+    amp_phase_ri, polar_ri, amp_phase, polar, rfft2_ri, irfft2_ri,
+)
 
 
 def init_fdffn(key, dim, bias=False, r=2.7):
@@ -156,29 +158,42 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
         x = _fcaffn_spectral_cm(params, x, x_high, xp2)
     elif use_light:
         x1 = x
-        f = rfft2(x)
-        f = replace_denormals(f)
         # |f|*a at phase angle(f)-c  ==  a * f * exp(-i*c): drops the
         # per-pixel atan2/abs of the reference formulation
         # (FDN_arch.py:411-418) — only cos/sin of the conv output remain.
+        bf16 = x.dtype == jnp.bfloat16
+        if bf16:
+            # bf16 spectra end to end (VERDICT-r2 #1a): the f32 path's
+            # matmul operands were already bf16-rounded here (fast DFT);
+            # only the stored planes shrink.
+            fr4, fi4 = rfft2_ri(x)
+            fr4, fi4 = replace_denormals((fr4, fi4))
+            mdt = x.dtype
+        else:
+            f = replace_denormals(rfft2(x))
+            fr4, fi4 = f.real, f.imag
+            mdt = jnp.float32
         c = conv2d(xp2, params["conv1_xp"]["weight"],
-                   params["conv1_xp"].get("bias")).astype(jnp.float32)
+                   params["conv1_xp"].get("bias")).astype(mdt)
         a = conv2d(x_high, params["conv1_xa"]["weight"],
-                   params["conv1_xa"].get("bias")).astype(jnp.float32)
+                   params["conv1_xa"].get("bias")).astype(mdt)
         # packed-lane elementwise: merge (Wf, C) so the modulation runs on
         # full 128-lane tiles instead of C-padded ones (see
         # rfft2_patch8_flat rationale in ops.fourier)
-        bsz, hh, wf, ch = f.shape
+        bsz, hh, wf, ch = fr4.shape
         flat = (bsz, hh, wf * ch)
         cos_c = jnp.cos(c).reshape(flat)
         sin_c = jnp.sin(c).reshape(flat)
         af = a.reshape(flat)
-        fr, fi = f.real.reshape(flat), f.imag.reshape(flat)
+        fr, fi = fr4.reshape(flat), fi4.reshape(flat)
         out_r = af * (fr * cos_c + fi * sin_c)
         out_i = af * (fi * cos_c - fr * sin_c)
-        out = (out_r + 1j * out_i).reshape(bsz, hh, wf, ch)
-        x = irfft2(out, s=(h, w),
-                   fast=x1.dtype == jnp.bfloat16).astype(x1.dtype)
+        if bf16:
+            x = irfft2_ri(out_r.reshape(bsz, hh, wf, ch),
+                          out_i.reshape(bsz, hh, wf, ch), s=(h, w))
+        else:
+            out = (out_r + 1j * out_i).reshape(bsz, hh, wf, ch)
+            x = irfft2(out, s=(h, w), fast=False).astype(x1.dtype)
         nb = params["norm"]["body"]
         x = layer_norm_2d(x, nb["weight"], nb["bias"]) * x1 + x1
     x = conv2d(x, params["project_in"]["weight"],

@@ -142,6 +142,18 @@ def conv2d(x, w, b=None, stride=1, padding=0, groups=1, dilation=1,
             and out_layout == "NHWC" \
             and os.environ.get("FDN_CPU_DW_STENCIL") != "0":
         return _depthwise_stencil(x, w, b, padding, groups)
+    # Round-3 A/B lever: depthwise convs as shift-FMA stencils ON TPU.
+    # The byte audit (benchmarks/artifacts/byte_audit_bf16_r3.json) puts
+    # ~100 ms/frame of sync layout copies around the FDFFN/FDSA conv
+    # chains — a stencil is a layout-agnostic elementwise fusion, so it
+    # removes the conv's layout constraint entirely (at the cost of 9
+    # shifted reads the VPU fuses in VMEM).
+    if (jax.default_backend() == "tpu" and groups > 1
+            and groups == x.shape[-1] and w.shape[2] == 1
+            and stride == (1, 1) and dilation == (1, 1)
+            and out_layout == "NHWC"
+            and os.environ.get("FDN_TPU_DW_STENCIL") == "1"):
+        return _depthwise_stencil(x, w, b, padding, groups)
     disp = os.environ.get("FDN_CONV_DISPATCH", "")
     if mode != "fast" and out_layout == "NHWC" and stride == (1, 1) \
             and dilation == (1, 1) and disp:

@@ -300,6 +300,62 @@ def irfft2(x, s, axes=(1, 2), fast=False):
     return jnp.fft.irfft2(x, s=s, axes=axes)
 
 
+def rfft2_ri(x, axes=(1, 2)):
+    """rfft2 over spatial axes returning (re, im) planes in the INPUT
+    dtype — no complex64 materialization.
+
+    In bf16 serving the f32 `rfft2` path already rounds its matmul
+    OPERANDS to bf16 (fast single-pass dots), so the only f32 thing left
+    was the stored spectra/upcasts; this keeps those bf16 too, halving
+    the HBM bytes of every full-image spectral segment (VERDICT-r2 #1a:
+    the FreBlock/fourier_fuse/prior f32 islands). f32 inputs take the
+    exact `rfft2` path unchanged (same HLO) and split the complex result,
+    so parity/dryrun programs are untouched.
+    """
+    if x.dtype in (jnp.float32, jnp.float64) or _FFT_MODE != "matmul" \
+            or axes != (1, 2) or x.ndim != 4:
+        f = rfft2(x, axes=axes)
+        return f.real.astype(x.dtype), f.imag.astype(x.dtype)
+    b, h, w, c = x.shape
+    wf = w // 2 + 1
+    cw, sw = _dft1d(w, wf)
+    ch, sh = _dft1d(h)
+    cw, sw, ch, sh = (m.astype(x.dtype) for m in (cw, sw, ch, sh))
+    tr = jnp.einsum("bhwc,wf->bhfc", x, cw)
+    ti = jnp.einsum("bhwc,wf->bhfc", x, sw)
+    xr = jnp.einsum("hu,bhfc->bufc", ch, tr) - \
+        jnp.einsum("hu,bhfc->bufc", sh, ti)
+    xi = jnp.einsum("hu,bhfc->bufc", ch, ti) + \
+        jnp.einsum("hu,bhfc->bufc", sh, tr)
+    return xr, xi
+
+
+def irfft2_ri(re, im, s):
+    """Inverse of :func:`rfft2_ri` from (re, im) planes; `s` = (H, W)
+    full spatial size (torch.fft.irfft2 semantics incl. spectrum crop
+    and folded hermitian expansion). Sub-f32 inputs run the whole chain
+    in their own dtype (1/(H*W) folded into the W-inverse matrix);
+    f32 falls back to the exact `irfft2`."""
+    if re.dtype in (jnp.float32, jnp.float64) or _FFT_MODE != "matmul" \
+            or re.ndim != 4:
+        return irfft2(re + 1j * im, s=s).astype(re.dtype)
+    s0, s1 = s
+    wf = s1 // 2 + 1
+    xr = re[:, :s0, :wf]
+    xi = im[:, :s0, :wf]
+    cwh, swh = _irdft1d_half(s1)
+    ch, sh = _dft1d(s0)
+    scale = 1.0 / (s0 * s1)
+    cwh, swh = ((m * scale).astype(re.dtype) for m in (cwh, swh))
+    ch, sh = ch.astype(re.dtype), sh.astype(re.dtype)
+    tr = jnp.einsum("bhvc,vw->bhwc", xr, cwh) - \
+        jnp.einsum("bhvc,vw->bhwc", xi, swh)
+    ti = jnp.einsum("bhvc,vw->bhwc", xr, swh) + \
+        jnp.einsum("bhvc,vw->bhwc", xi, cwh)
+    return jnp.einsum("uh,buwc->bhwc", ch, tr) + \
+        jnp.einsum("uh,buwc->bhwc", sh, ti)
+
+
 def replace_denormals(x, threshold=1e-10):
     """Clamp near-zero real/imag parts to +threshold, like the reference.
 

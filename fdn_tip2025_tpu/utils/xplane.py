@@ -80,8 +80,13 @@ def _parse_meta_entry(buf):
     return key, name
 
 
-def op_totals(path, plane_filter=None):
-    """{plane_name: {op_name: total_duration_ps}} from an xplane.pb."""
+def op_totals(path, plane_filter=None, with_counts=False):
+    """{plane_name: {op_name: total_duration_ps}} from an xplane.pb.
+
+    with_counts=True returns {plane: {op: (total_ps, n_events)}} — each
+    XEvent is one op occurrence, so n_events / steps = executions per step
+    (loop-body ops inside lax.scan show their real trip counts here).
+    """
     with open(path, "rb") as fh:
         buf = fh.read()
     out = {}
@@ -105,9 +110,11 @@ def op_totals(path, plane_filter=None):
         for lb in lines:
             for mid, dur in _parse_line(lb):
                 nm = meta.get(mid, f"#{mid}")
-                totals[nm] = totals.get(nm, 0) + dur
+                t, c = totals.get(nm, (0, 0))
+                totals[nm] = (t + dur, c + 1)
         if totals:
-            out[name] = totals
+            out[name] = totals if with_counts else {
+                k: t for k, (t, c) in totals.items()}
     return out
 
 
