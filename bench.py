@@ -78,6 +78,16 @@ def _measure(mode, iters):
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache (same pattern as the dryrun's .xla_cache/):
+    # the full serving program takes >9 min to compile cold on a slow
+    # 1-core host — warmed entries are committed at .xla_cache_tpu/ so the
+    # driver's bench run compiles in seconds. Misses still work, slower.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".xla_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
     from fdn_tip2025_tpu.models import (
         init_fdn, fdn_forward, init_ipredict,
     )

@@ -16,6 +16,7 @@ from fdn_tip2025_tpu.ops import (
 from fdn_tip2025_tpu.ops.fourier import (
     amp_phase, polar, amp_phase_ri, polar_ri, rfft2_ri, irfft2_ri,
 )
+from fdn_tip2025_tpu.ops.context import bf16_spectra_enabled
 
 
 def _split(key, n):
@@ -117,12 +118,14 @@ def _seq_1x1_leaky_1x1(p, x):
 def fre_block(params, x):
     h, w = x.shape[1], x.shape[2]
     y = conv2d(x, params["fpre"]["weight"], params["fpre"]["bias"])
-    if x.dtype == jnp.bfloat16:
+    if x.dtype == jnp.bfloat16 and bf16_spectra_enabled():
         # bf16 spectral segment end to end (VERDICT-r2 #1a): the f32
         # path below already rounds its DFT matmul operands to bf16 in
         # serving (fast=True), so keeping the STORED spectra/amp/phase
         # bf16 halves this segment's HBM bytes at the same operand
-        # precision. f32/parity traces take the unchanged complex path.
+        # precision. f32/parity traces take the unchanged complex path;
+        # AMP TRAINING disables this via ops.context.f32_spectra (torch
+        # autocast keeps FFTs f32 — the convergence gates pin that).
         re, im = rfft2_ri(y)
         mag, pha = amp_phase_ri(re, im)
         mag = _seq_1x1_leaky_1x1(params["process1"], mag)
@@ -132,8 +135,10 @@ def fre_block(params, x):
     mag, pha = amp_phase(rfft2(y))
     mag = _seq_1x1_leaky_1x1(params["process1"], mag.astype(x.dtype))
     pha = _seq_1x1_leaky_1x1(params["process2"], pha.astype(x.dtype))
+    # bf16 inputs here = AMP training with f32 spectra: keep the round-2
+    # fast inverse (operand rounding), f32 keeps the exact one.
     out = irfft2(polar(mag.astype(jnp.float32), pha.astype(jnp.float32)),
-                 s=(h, w), fast=False).astype(x.dtype)
+                 s=(h, w), fast=x.dtype == jnp.bfloat16).astype(x.dtype)
     return out + x
 
 
@@ -192,7 +197,7 @@ def fourier_fuse(params, x1, x2, x4):
     # map to (H+2, W+2) with bias-valued borders (FDN_arch.py:125-126).
     y = conv2d(y, params["fpre"]["1"]["weight"], params["fpre"]["1"]["bias"],
                padding=1, groups=out_nc)
-    if x.dtype == jnp.bfloat16:
+    if x.dtype == jnp.bfloat16 and bf16_spectra_enabled():
         # bf16 spectral segment (same rationale as fre_block); irfft2_ri
         # with s=(H, W) crops the (H+2, W+2)-sized spectrum like torch.
         re, im = rfft2_ri(y)
@@ -209,6 +214,6 @@ def fourier_fuse(params, x1, x2, x4):
     pha = _seq_1x1_leaky_1x1(params["process2"], pha.astype(x.dtype))
     # irfft2 with s=(H, W) crops the (H+2, W+2)-sized spectrum like torch.
     out = irfft2(polar(mag.astype(jnp.float32), pha.astype(jnp.float32)),
-                 s=(h, w), fast=False).astype(x.dtype)
+                 s=(h, w), fast=x.dtype == jnp.bfloat16).astype(x.dtype)
     return conv2d(out, params["fourier_out"]["weight"],
                   params["fourier_out"]["bias"], padding=1)

@@ -161,11 +161,13 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
         # |f|*a at phase angle(f)-c  ==  a * f * exp(-i*c): drops the
         # per-pixel atan2/abs of the reference formulation
         # (FDN_arch.py:411-418) — only cos/sin of the conv output remain.
-        bf16 = x.dtype == jnp.bfloat16
+        from fdn_tip2025_tpu.ops.context import bf16_spectra_enabled
+        bf16 = x.dtype == jnp.bfloat16 and bf16_spectra_enabled()
         if bf16:
             # bf16 spectra end to end (VERDICT-r2 #1a): the f32 path's
             # matmul operands were already bf16-rounded here (fast DFT);
-            # only the stored planes shrink.
+            # only the stored planes shrink. AMP training opts out via
+            # ops.context.f32_spectra (torch-autocast-faithful f32 FFTs).
             fr4, fi4 = rfft2_ri(x)
             fr4, fi4 = replace_denormals((fr4, fi4))
             mdt = x.dtype
@@ -193,7 +195,10 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
                           out_i.reshape(bsz, hh, wf, ch), s=(h, w))
         else:
             out = (out_r + 1j * out_i).reshape(bsz, hh, wf, ch)
-            x = irfft2(out, s=(h, w), fast=False).astype(x1.dtype)
+            # bf16 inputs here = AMP training with f32 spectra: keep the
+            # round-2 fast inverse; f32 parity keeps the exact one.
+            x = irfft2(out, s=(h, w),
+                       fast=x1.dtype == jnp.bfloat16).astype(x1.dtype)
         nb = params["norm"]["body"]
         x = layer_norm_2d(x, nb["weight"], nb["bias"]) * x1 + x1
     x = conv2d(x, params["project_in"]["weight"],

@@ -153,11 +153,17 @@ class BaseTrainer:
     def _wrapped_loss_fn(self):
         loss_fn = self._loss_fn
         if self.amp:
+            from fdn_tip2025_tpu.ops.context import f32_spectra
+
             # cast INSIDE the differentiated fn: grads of the f32->bf16
-            # cast come back f32 onto the master weights automatically
+            # cast come back f32 onto the master weights automatically.
+            # f32_spectra scopes the TRACE: AMP keeps full-image spectra
+            # f32 (torch autocast executes FFTs in f32 — the bf16-spectra
+            # storage is a serving-only byte optimization).
             def loss_fn(tr, fz, b):
-                return self._loss_fn(_to_bf16(tr), _to_bf16(fz),
-                                     _to_bf16(b))
+                with f32_spectra():
+                    return self._loss_fn(_to_bf16(tr), _to_bf16(fz),
+                                         _to_bf16(b))
         return loss_fn
 
     def _train_step(self, trainable, opt_state, frozen, batch):

@@ -1,0 +1,48 @@
+"""Guard the committed dryrun compile cache (VERDICT-r2 #4).
+
+The driver's dryrun only fits its time budget because `.xla_cache/` ships
+warmed entries for the exact programs it compiles; a commit that drifts the
+HLO silently invalidates them (the b7145d8 near-miss). The fast test checks
+the committed fingerprint artifact is present and well-formed; the
+slow-marked test re-lowers the dryrun programs in the canonical env and
+fails loudly on drift — run it (or `python tools/hlo_fingerprint.py`)
+before round end whenever ops/model code changed.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FP_PATH = os.path.join(REPO, ".xla_cache", "HLO_FINGERPRINT.json")
+
+
+def test_fingerprint_artifact_present_and_wellformed():
+    assert os.path.exists(FP_PATH), (
+        "no committed HLO fingerprint — run tools/hlo_fingerprint.py "
+        "--update after warming .xla_cache/")
+    with open(FP_PATH) as f:
+        fp = json.load(f)
+    for key in ("train_step", "spatial_fwd"):
+        assert key in fp, f"fingerprint missing {key!r}"
+        assert isinstance(fp[key], str) and len(fp[key]) == 64, (
+            f"{key!r} is not a sha256 hex digest: {fp[key]!r}")
+    import jax
+    assert fp.get("jax") == jax.__version__, (
+        f"fingerprint was computed under jax {fp.get('jax')}, running "
+        f"{jax.__version__} — re-verify the cache against this version")
+
+
+@pytest.mark.slow
+def test_fingerprint_matches_current_programs():
+    """Re-lower the dryrun train step + spatial forward and compare
+    against the committed hashes (the exact check the tool does)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "hlo_fingerprint.py")],
+        cwd=REPO, capture_output=True, text=True, timeout=1200)
+    assert proc.returncode == 0, (
+        "dryrun HLO drifted out of the committed .xla_cache/:\n"
+        + proc.stdout + proc.stderr)
