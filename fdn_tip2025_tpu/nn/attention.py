@@ -120,12 +120,19 @@ def fdsa(params, x):
         h_qkv = conv2d(x, K[..., :c3], None, padding=1)
         h_vv = conv2d(x, K[..., c3:], None, padding=1)
     else:
-        h_qkv = conv2d(hidden[..., :c3], dwk[..., :c3],
-                       None if dwb is None else dwb[:c3],
-                       padding=1, groups=c3)
-        h_vv = conv2d(hidden[..., c3:], dwk[..., c3:],
-                      None if dwb is None else dwb[c3:],
-                      padding=1, groups=expand)
+        from fdn_tip2025_tpu.kernels.dwconv import dwconv3x3, use_pallas_dw
+        if use_pallas_dw(hidden, dwb):
+            # Pallas stencil dwconvs (kernels/dwconv.py) — see the FDFFN
+            # note; exact per-channel split of the kernel as before
+            h_qkv = dwconv3x3(hidden[..., :c3], dwk[..., :c3])
+            h_vv = dwconv3x3(hidden[..., c3:], dwk[..., c3:])
+        else:
+            h_qkv = conv2d(hidden[..., :c3], dwk[..., :c3],
+                           None if dwb is None else dwb[:c3],
+                           padding=1, groups=c3)
+            h_vv = conv2d(hidden[..., c3:], dwk[..., c3:],
+                          None if dwb is None else dwb[c3:],
+                          padding=1, groups=expand)
     b, hh, ww, _ = h_qkv.shape
     n_p = b * (hh // 8) * (ww // 8)
     prec = _patch_dft_precision(h_qkv.dtype)

@@ -38,15 +38,27 @@ def init_fdffn(key, dim, bias=False, r=2.7):
 
 
 def fdffn(params, x, x_high=None, xp2=None, x_img=None):
+    from fdn_tip2025_tpu.kernels.dwconv import (
+        dwconv3x3, dwconv3x3_gate, gate_perm, use_pallas_dw,
+    )
     hidden = params["project_in"]["weight"].shape[-1]
     x = conv2d(x, params["project_in"]["weight"],
                params["project_in"].get("bias"))
     sp = params["space"]
-    x1 = conv2d(x, sp["0"]["weight"], sp["0"].get("bias"), padding=1,
-                groups=hidden)
-    x1 = gelu(x1)
-    x1 = conv2d(x1, sp["2"]["weight"], sp["2"].get("bias"), padding=1,
-                groups=hidden)
+    pallas_dw = use_pallas_dw(x, sp["0"].get("bias"))
+    if pallas_dw:
+        # Pallas stencil dwconvs (kernels/dwconv.py): the XLA lowering of
+        # these runs at <10% of HBM peak and drags layout copies with it
+        # (round-3 HLO/profile join) — the VMEM 9-tap FMA with the gelu
+        # fused reads/writes each tensor exactly once.
+        x1 = dwconv3x3(x, sp["0"]["weight"], act="gelu")
+        x1 = dwconv3x3(x1, sp["2"]["weight"])
+    else:
+        x1 = conv2d(x, sp["0"]["weight"], sp["0"].get("bias"), padding=1,
+                    groups=hidden)
+        x1 = gelu(x1)
+        x1 = conv2d(x1, sp["2"]["weight"], sp["2"].get("bias"), padding=1,
+                    groups=hidden)
 
     # amp*ffta with phase-shift -fftp == multiply by ffta*exp(-i*fftp):
     # a constant complex rotation of the spectrum — cos/sin touch only the
@@ -109,6 +121,14 @@ def fdffn(params, x, x_high=None, xp2=None, x_img=None):
             b_, hh // 8, ww // 8, 8, 8, ch)
         x = unpatchify8(out) + x1
 
+    if pallas_dw and params["dwconv"].get("bias") is None \
+            and hidden % 2 == 0:  # odd widths (Fuse hidden 345) keep XLA
+        # fused dwconv(m=2) + chunk + gelu-gate in one VMEM pass; the
+        # kernel's gate_perm channel order folds into project_out's rows
+        # (a free weight gather — exact)
+        x = dwconv3x3_gate(x, params["dwconv"]["weight"])
+        w_out = params["project_out"]["weight"][:, :, gate_perm(hidden), :]
+        return conv2d(x, w_out, params["project_out"].get("bias"))
     g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
                padding=1, groups=hidden)
     g1, g2 = jnp.split(g, 2, axis=-1)
@@ -201,20 +221,32 @@ def fcaffn(params, x, x_high, xp2, x_img, use_light=True):
                        fast=x1.dtype == jnp.bfloat16).astype(x1.dtype)
         nb = params["norm"]["body"]
         x = layer_norm_2d(x, nb["weight"], nb["bias"]) * x1 + x1
+    from fdn_tip2025_tpu.kernels.dwconv import (
+        dwconv3x3, dwconv3x3_gate, gate_perm, use_pallas_dw,
+    )
     x = conv2d(x, params["project_in"]["weight"],
                params["project_in"].get("bias"))
+    pallas_dw = use_pallas_dw(x, params["dwconv"].get("bias"))
     if use_light:
         mul = conv2d(x_img, params["conv1_mul"]["weight"],
                      params["conv1_mul"].get("bias"))
-        mul = conv2d(mul, params["conv3_mul"]["weight"],
-                     params["conv3_mul"].get("bias"), padding=1,
-                     groups=hidden)
         add = conv2d(x_img, params["conv1_add"]["weight"],
                      params["conv1_add"].get("bias"))
-        add = conv2d(add, params["conv3_add"]["weight"],
-                     params["conv3_add"].get("bias"), padding=1,
-                     groups=hidden)
+        if pallas_dw and params["conv3_mul"].get("bias") is None:
+            mul = dwconv3x3(mul, params["conv3_mul"]["weight"])
+            add = dwconv3x3(add, params["conv3_add"]["weight"])
+        else:
+            mul = conv2d(mul, params["conv3_mul"]["weight"],
+                         params["conv3_mul"].get("bias"), padding=1,
+                         groups=hidden)
+            add = conv2d(add, params["conv3_add"]["weight"],
+                         params["conv3_add"].get("bias"), padding=1,
+                         groups=hidden)
         x = x * mul + add
+    if pallas_dw and hidden % 2 == 0:
+        x = dwconv3x3_gate(x, params["dwconv"]["weight"])
+        w_out = params["project_out"]["weight"][:, :, gate_perm(hidden), :]
+        return conv2d(x, w_out, params["project_out"].get("bias"))
     g = conv2d(x, params["dwconv"]["weight"], params["dwconv"].get("bias"),
                padding=1, groups=hidden)
     g1, g2 = jnp.split(g, 2, axis=-1)

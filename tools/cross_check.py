@@ -58,7 +58,8 @@ def synth_pair(rng, size, blur=True):
     return lq, gt
 
 
-def train_fdn(iters, size, batch, lr=1e-3, seed=0, log_every=50):
+def train_fdn(iters, size, batch, lr=1e-3, seed=0, log_every=50,
+              vgg="off"):
     from fdn_tip2025_tpu.parallel.mesh import make_mesh
     from fdn_tip2025_tpu.train.engine import create_trainer
 
@@ -75,7 +76,21 @@ def train_fdn(iters, size, batch, lr=1e-3, seed=0, log_every=50):
             "total_iter": iters, "warmup_iter": -1,
         },
     }
-    tr = create_trainer(opt, mesh=make_mesh(1))
+    vgg_params = None
+    if vgg == "random":
+        # VERDICT-r2 #2: exercise the FULL reference objective
+        # (L1 + 0.1*FFT + 0.01*VGG, image_restoration_model.py:477-491)
+        # on-chip — pretrained VGG19 blobs are env-blocked, but the
+        # perceptual GRADIENT path is weight-agnostic; random weights in
+        # the exact torchvision layout prove the 3-term objective trains
+        # stably end to end.
+        import jax
+        from fdn_tip2025_tpu.train.perceptual import init_vgg19_params
+        vgg_params = init_vgg19_params(jax.random.PRNGKey(seed))
+    elif vgg and vgg != "off":
+        from fdn_tip2025_tpu.train.perceptual import load_vgg19_params
+        vgg_params = load_vgg19_params(vgg)
+    tr = create_trainer(opt, mesh=make_mesh(1), vgg_params=vgg_params)
     losses = []
     for i in range(iters):
         take = rng.integers(0, len(pairs), batch)
@@ -84,7 +99,9 @@ def train_fdn(iters, size, batch, lr=1e-3, seed=0, log_every=50):
         aux = tr.train_step(b)
         losses.append(float(aux["l_total"]))
         if log_every and (i + 1) % log_every == 0:
-            print(f"  iter {i + 1}/{iters} l_total {losses[-1]:.4f}",
+            per = (f" l_per {float(aux['l_per']):.4f}"
+                   if "l_per" in aux else "")
+            print(f"  iter {i + 1}/{iters} l_total {losses[-1]:.4f}{per}",
                   flush=True)
     return tr, losses
 
@@ -147,15 +164,20 @@ def main():
                     help="also validate the uint8 wire format vs the f32 "
                          "wire with the trained weights at HxH*1.75 "
                          "(saved-PNG agreement in LSBs); 0 disables")
+    ap.add_argument("--vgg", default="off",
+                    help="'off' (default), 'random' (random VGG19 params "
+                         "— trains the FULL reference objective "
+                         "L1+0.1*FFT+0.01*VGG, VERDICT-r2 #2), or a "
+                         "torchvision vgg19 .pth path")
     args = ap.parse_args()
 
     from fdn_tip2025_tpu.metrics import calculate_psnr
 
     os.makedirs(args.out, exist_ok=True)
     print(f"training FDN {args.iters} iters @ {args.train_size}px "
-          f"batch {args.batch} ...", flush=True)
+          f"batch {args.batch} (vgg={args.vgg}) ...", flush=True)
     tr, losses = train_fdn(args.iters, args.train_size, args.batch,
-                           lr=args.lr)
+                           lr=args.lr, vgg=args.vgg)
     print(f"loss {losses[0]:.3f} -> {losses[-1]:.3f}", flush=True)
 
     from fdn_tip2025_tpu.checkpoint.manager import export_torch_pth
@@ -170,8 +192,10 @@ def main():
 
     result = {
         "iters": args.iters, "train_size": args.train_size,
-        "eval_size": args.eval_size,
+        "eval_size": args.eval_size, "vgg": args.vgg,
         "loss_first": round(losses[0], 4), "loss_last": round(losses[-1], 4),
+        "loss_curve": [round(l, 4) for l in
+                       losses[::max(1, len(losses) // 20)]],
     }
 
     # lolblur inference protocol: ratio straight from the real LPNet
