@@ -25,6 +25,7 @@ LPNet ratio -> FDN -> save, per image).
 """
 
 import json
+import math
 import os
 import sys
 import time
@@ -48,21 +49,28 @@ def _time_requests(pred, img, n, **kw):
         pred.restore(img, **kw)
         ts.append(time.perf_counter() - t0)
     ts.sort()
+    # nearest-rank p95 (ADVICE r3: int(n*0.95) was just the max for n=20)
+    p95_idx = max(0, math.ceil(0.95 * len(ts)) - 1)
     return {
         "p50_ms": round(ts[len(ts) // 2] * 1e3, 1),
-        "p95_ms": round(ts[min(len(ts) - 1, int(len(ts) * 0.95))] * 1e3, 1),
+        "p95_ms": round(ts[p95_idx] * 1e3, 1),
         "mean_ms": round(sum(ts) / len(ts) * 1e3, 1),
         "mp_s": round((H * W / 1e6) / (sum(ts) / len(ts)), 3),
     }
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    n = int(args[0]) if args else 20
+    # parse argv once: pop --out and its value, the remainder is [N]
+    # (ADVICE r3: the old filter kept --out's value and int() crashed)
+    argv = list(sys.argv[1:])
     out_path = None
-    for i, a in enumerate(sys.argv):
-        if a == "--out":
-            out_path = sys.argv[i + 1]
+    if "--out" in argv:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
+            raise SystemExit("--out requires a path argument")
+        out_path = argv[i + 1]
+        del argv[i:i + 2]
+    n = int(argv[0]) if argv else 20
 
     import jax.numpy as jnp
     from fdn_tip2025_tpu.inference import FDNPredictor

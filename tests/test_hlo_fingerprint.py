@@ -36,6 +36,22 @@ def test_fingerprint_artifact_present_and_wellformed():
         f"{jax.__version__} — re-verify the cache against this version")
 
 
+def test_source_stamp_matches_committed():
+    """FAST drift check (VERDICT-r3 Weak #1b): the real HLO comparison is
+    slow-marked, so the default suite used to stay green while the
+    committed .xla_cache/ was stale. This recomputes the cheap source
+    stamp over every HLO-shaping directory; any edit there fails the
+    default suite until tools/hlo_fingerprint.py has been re-run."""
+    sys.path.insert(0, REPO)
+    from tools.hlo_fingerprint import source_stamp
+    with open(FP_PATH) as f:
+        fp = json.load(f)
+    assert fp.get("source") == source_stamp(), (
+        "HLO-shaping sources changed since the fingerprint was stamped — "
+        "run `python tools/hlo_fingerprint.py` (and re-warm .xla_cache/ + "
+        "`--update` if it reports drift) BEFORE round end")
+
+
 @pytest.mark.slow
 def test_fingerprint_matches_current_programs():
     """Re-lower the dryrun train step + spatial forward and compare

@@ -33,12 +33,12 @@ def _write_pngs(d, n, size, seed, gain=1.0):
         cv2.imwrite(os.path.join(d, f"{i:03d}.png"), img)
 
 
-def _run(args):
-    env = dict(os.environ, FDN_DEVICE="cpu")
+def _run(args, extra_env=None, expect_rc=0):
+    env = dict(os.environ, FDN_DEVICE="cpu", **(extra_env or {}))
     proc = subprocess.run([sys.executable] + args, cwd=REPO, env=env,
                           capture_output=True, text=True, timeout=1200)
-    assert proc.returncode == 0, proc.stdout + proc.stderr
-    return proc.stdout
+    assert proc.returncode == expect_rc, proc.stdout + proc.stderr
+    return proc.stdout + proc.stderr
 
 
 def test_metrics_gate_cli_end_to_end(tmp_path):
@@ -73,6 +73,40 @@ def test_metrics_gate_cli_end_to_end(tmp_path):
         want = np.mean([float(r[m]) for r in per_img])
         assert abs(float(mean[m]) - want) < 1e-6
     assert "psnr" in out  # stdout mean dict printed
+
+
+def test_metrics_gate_plugin_metric(tmp_path):
+    """The m.py arbitrary-metric surface (m.py:72 accepts any pyiqa
+    name): a --plugin module registers a custom metric and the CLI
+    dispatches it by name; an unregistered name fails with the
+    available list."""
+    img_dir = str(tmp_path / "results")
+    ref_dir = str(tmp_path / "gt")
+    _write_pngs(img_dir, 2, 64, seed=3)
+    _write_pngs(ref_dir, 2, 64, seed=4)
+    plug_dir = tmp_path / "plugmods"
+    plug_dir.mkdir()
+    (plug_dir / "my_metric_plugin.py").write_text(
+        "import numpy as np\n"
+        "from fdn_tip2025_tpu.metrics import register_metric\n"
+        "register_metric('mad', lambda a, b: float(np.abs(a - b).mean()))\n"
+    )
+    csv_path = str(tmp_path / "m.csv")
+    env = {"PYTHONPATH": str(plug_dir)}
+
+    _run(["tools/metrics_gate.py", "-m", "psnr", "mad",
+          "--img-dir", img_dir, "--ref-dir", ref_dir, "--csv", csv_path,
+          "--plugin", "my_metric_plugin"], extra_env=env)
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    assert [r["img"] for r in rows] == ["000.png", "001.png", "MEAN"]
+    for r in rows:
+        assert 0.0 < float(r["mad"]) < 1.0, r
+
+    out = _run(["tools/metrics_gate.py", "-m", "musiq",
+                "--img-dir", img_dir, "--ref-dir", ref_dir],
+               extra_env=env, expect_rc=1)
+    assert "unknown metric 'musiq'" in out and "--plugin" in out
 
 
 @pytest.mark.slow

@@ -43,7 +43,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--metrics", nargs="+",
                     default=["psnr", "ssim"],
-                    choices=["psnr", "ssim", "niqe", "lpips"])
+                    help="psnr ssim niqe lpips, or any name a --plugin "
+                         "module registers (the m.py:72 arbitrary-pyiqa-"
+                         "metric analog)")
+    ap.add_argument("--plugin", action="append", default=[],
+                    help="importable module that calls fdn_tip2025_tpu."
+                         "metrics.register_metric(name, fn) at import; "
+                         "repeatable. fn(img, ref)->float, RGB [0,1] HWC")
     ap.add_argument("--img-dir", required=True)
     ap.add_argument("--ref-dir", required=True)
     ap.add_argument("--csv", default="./metrics.csv")
@@ -52,6 +58,22 @@ def main():
     ap.add_argument("--lpips-lin", default=None,
                     help="lpips linear-head .pth (required for -m lpips)")
     args = ap.parse_args()
+
+    import importlib
+
+    from fdn_tip2025_tpu.metrics import available_metrics
+
+    for mod in args.plugin:
+        importlib.import_module(mod)
+    plug = available_metrics()
+    builtin = {"psnr", "ssim", "niqe", "lpips"}
+    for m in args.metrics:
+        if m not in builtin and m not in plug:
+            raise SystemExit(
+                f"unknown metric {m!r}: built-ins are {sorted(builtin)}; "
+                f"registered plugins: "
+                f"{sorted(set(plug) - builtin) or 'none'} "
+                "(load one with --plugin <module>)")
 
     lpips_fn = None
     if "lpips" in args.metrics:
@@ -91,6 +113,8 @@ def main():
                 v = calculate_niqe((a[..., ::-1] * 255), crop_border=0)
             elif m == "lpips":
                 v = lpips_fn(a, b)
+            else:
+                v = plug[m](a, b)
             row[m] = float(v)
             sums[m] += float(v)
         rows.append(row)
