@@ -67,14 +67,17 @@ def _erf_gelu(x):
 
 def _window(x_ref, h1_ref, h2_ref):
     """(th+2)-row halo window: main th-row block + two 1-row halo blocks,
-    concatenated in VMEM. All standard Blocked specs over the same padded
-    operand. Alternatives measured/attempted on v5e (journal, round 3):
+    concatenated in VMEM. All standard Blocked specs. Alternatives
+    measured/attempted on v5e (journal, round 3):
     Element-indexed overlapping blocks crash Mosaic's remote compile at
     this size; a single HBM (ANY) operand with in-kernel DMA windows is
     rejected by Mosaic's slice-alignment rules (window extent must be
     8-aligned in sublanes AND the lane dim 128-aligned — C=86 windows are
-    unexpressible). The three aliased operands cost XLA de-aliasing
-    copies; measured net win over the XLA grouped conv regardless."""
+    unexpressible). Round 3 passed the SAME padded operand three times
+    (main + 2 halo views) — XLA de-aliased that with TWO FULL-TENSOR
+    copies per call. Round 4: the halo rows are pre-sliced into separate
+    (B, H/th, W, C) tensors (2/th of the input in bytes) so no operand
+    aliases another and the de-alias copies disappear."""
     return jnp.concatenate([x_ref[:], h1_ref[:], h2_ref[:]], axis=1)
 
 
@@ -155,19 +158,29 @@ def _pad_input(x, th):
 
 
 def _halo_specs(th, wd, c):
-    """Main th-row block + two 1-row halo blocks over the padded input
-    (all Blocked; window assembled in VMEM by _window)."""
+    """Main th-row block over the padded input + two 1-row halo blocks
+    over the pre-sliced halo tensors from _halo_rows (all Blocked,
+    no aliased operands; window assembled in VMEM by _window)."""
     return [
         pl.BlockSpec((1, th, wd + 2, c),
                      lambda bi, i: (bi, i, 0, 0),  # rows [i*th, i*th+th)
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, wd + 2, c),
-                     lambda bi, i, th=th: (bi, i * th + th, 0, 0),
+                     lambda bi, i: (bi, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, wd + 2, c),
-                     lambda bi, i, th=th: (bi, i * th + th + 1, 0, 0),
+                     lambda bi, i: (bi, i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+
+
+def _halo_rows(xp, th):
+    """Tile i's two halo rows (padded rows i*th+th and i*th+th+1) as
+    separate (B, H/th, Wp, C) tensors — tiny strided-slice copies that
+    replace round 3's two full-tensor de-alias copies."""
+    h1 = xp[:, th::th]
+    h2 = xp[:, th + 1::th]
+    return h1, h2
 
 
 def dwconv3x3(x, w, act=None, tile_h=8, interpret=None):
@@ -182,6 +195,7 @@ def dwconv3x3(x, w, act=None, tile_h=8, interpret=None):
         interpret = jax.default_backend() == "cpu"
     th = tile_h
     xp, hp = _pad_input(x, th)
+    h1, h2 = _halo_rows(xp, th)
     kern = functools.partial(_dw_kernel, th=th, w_out=wd, act=act)
     out = pl.pallas_call(
         kern,
@@ -195,7 +209,7 @@ def dwconv3x3(x, w, act=None, tile_h=8, interpret=None):
                                memory_space=pltpu.VMEM),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(xp, xp, xp, w.reshape(9, c))
+    )(xp, h1, h2, w.reshape(9, c))
     return out[:, :h]
 
 
@@ -226,6 +240,7 @@ def dwconv3x3_gate(x, w, tile_h=8, interpret=None):
         interpret = jax.default_backend() == "cpu"
     th = tile_h
     xp, hp = _pad_input(x, th)
+    h1, h2 = _halo_rows(xp, th)
     wk = w.reshape(9, 2 * c)
     wa = wk[:, 0::2]   # even outputs: a[i] = g_full[2i], uses input i
     wb = wk[:, 1::2]   # odd outputs
@@ -244,5 +259,5 @@ def dwconv3x3_gate(x, w, tile_h=8, interpret=None):
                                memory_space=pltpu.VMEM),
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(xp, xp, xp, wa, wb)
+    )(xp, h1, h2, wa, wb)
     return out[:, :h]

@@ -73,12 +73,23 @@ def main():
     ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--reuse", action="store_true",
                     help="reuse cached trained params if present")
+    ap.add_argument("--pth", default=None,
+                    help="skip the smoke-train: load FDN params from this "
+                         ".pth export (e.g. tools/cross_check.py's 300-"
+                         "iter output) to measure the chaos/sharding "
+                         "envelope at a better-converged weight state")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     cache = f"/tmp/spatial_diag_params_i{args.iters}.pkl"
     t0 = time.time()
-    if args.reuse and os.path.exists(cache):
+    if args.pth:
+        from fdn_tip2025_tpu.checkpoint import load_model_from_pth
+        from fdn_tip2025_tpu.models import init_fdn
+        params = load_model_from_pth(
+            args.pth, init_fdn(jax.random.PRNGKey(0)))
+        print(f"loaded params from {args.pth}", flush=True)
+    elif args.reuse and os.path.exists(cache):
         with open(cache, "rb") as f:
             params = pickle.load(f)
         print(f"reusing trained params from {cache}", flush=True)
@@ -133,7 +144,7 @@ def main():
               f"({time.time() - t0:.0f}s)", flush=True)
 
     record = {"what": "spatial divergence diagnosis (VERDICT-r3 #3)",
-              "iters": args.iters, "input_hw": [256, 64],
+              "iters": args.iters, "pth": args.pth, "input_hw": [256, 64],
               "results": results,
               "wall_s": round(time.time() - t0, 1)}
     print(json.dumps(record, indent=1))
