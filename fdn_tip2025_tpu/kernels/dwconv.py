@@ -157,18 +157,24 @@ def _pad_input(x, th):
     return xp, h + pad_h
 
 
-def _halo_specs(th, wd, c):
+def _halo_specs(th, wp, c):
     """Main th-row block over the padded input + two 1-row halo blocks
     over the pre-sliced halo tensors from _halo_rows (all Blocked,
-    no aliased operands; window assembled in VMEM by _window)."""
+    no aliased operands; window assembled in VMEM by _window).
+
+    Blocks span the FULL padded width wp: Mosaic requires the last two
+    block dims to be (8, 128)-divisible OR equal to the array dims, and
+    wd+2 (e.g. 1122 at the 1120-px serving width) is neither while wp
+    is 8-aligned by _pad_input. The <=6 extra right-pad columns ride
+    along in VMEM; the stencil never reads past col w_out+2."""
     return [
-        pl.BlockSpec((1, th, wd + 2, c),
+        pl.BlockSpec((1, th, wp, c),
                      lambda bi, i: (bi, i, 0, 0),  # rows [i*th, i*th+th)
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, wd + 2, c),
+        pl.BlockSpec((1, 1, wp, c),
                      lambda bi, i: (bi, i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, wd + 2, c),
+        pl.BlockSpec((1, 1, wp, c),
                      lambda bi, i: (bi, i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
@@ -201,7 +207,7 @@ def dwconv3x3(x, w, act=None, tile_h=8, interpret=None):
         kern,
         out_shape=jax.ShapeDtypeStruct((b, hp, wd, c), x.dtype),
         grid=(b, hp // th),
-        in_specs=_halo_specs(th, wd, c) + [
+        in_specs=_halo_specs(th, xp.shape[2], c) + [
             pl.BlockSpec((9, c), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -249,7 +255,7 @@ def dwconv3x3_gate(x, w, tile_h=8, interpret=None):
         kern,
         out_shape=jax.ShapeDtypeStruct((b, hp, wd, c), x.dtype),
         grid=(b, hp // th),
-        in_specs=_halo_specs(th, wd, c) + [
+        in_specs=_halo_specs(th, xp.shape[2], c) + [
             pl.BlockSpec((9, c), lambda bi, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, c), lambda bi, i: (0, 0),
