@@ -80,8 +80,23 @@ def parse_hlo_bytes(hlo_text):
                       "bitcast", "tuple", "after-all"):
             continue
         total = sum(_shape_bytes(s) for s in _SHAPE_RE.finditer(line))
-        out[name] = total
+        sm = re.search(r'op_name="([^"]*)"', line)
+        out[name] = (total, sm.group(1) if sm else None)
     return out
+
+
+def src_label(op_name):
+    """Collapse an HLO op_name path ("jit(fwd)/jit(main)/.../transpose")
+    to its trailing primitive + nearest named scope — the rollup key for
+    the VPU-time triage (which SOURCE op class produces fusion time)."""
+    if not op_name:
+        return None
+    parts = [p for p in op_name.split("/") if p and not p.startswith("jit(")]
+    if not parts:
+        return op_name.rsplit("/", 1)[-1]
+    prim = re.sub(r"\[.*", "", parts[-1])  # strip params e.g. dot_general[...]
+    scope = parts[-2] if len(parts) > 1 else ""
+    return f"{scope}/{prim}" if scope else prim
 
 
 def main():
@@ -165,7 +180,7 @@ def main():
                     "fused_computation."):
                 # event named after the called computation, not the fusion
                 base = "fusion." + base.split(".", 1)[1]
-            b = bytes_per_exec.get(base)
+            b, src = bytes_per_exec.get(base, (None, None))
             ms = ps / 1e9 / args.steps
             execs = cnt / args.steps
             gb = (b or 0) * execs / 1e9
@@ -175,6 +190,7 @@ def main():
                 "gb_per_step": round(gb, 3),
                 "eff_gbps": round(gb / (ms / 1e3), 1) if ms > 0 and b
                 else None,
+                "src": src_label(src),
             })
     rows.sort(key=lambda r: -r["ms"])
     total_ms = sum(r["ms"] for r in rows)
@@ -203,11 +219,28 @@ def main():
     for c, v in sorted(cats.items(), key=lambda kv: -kv[1]["ms"])[:15]:
         print(f"{v['ms']:9.3f} ms {v['gb']:8.2f} GB  n={v['n']:<4} {c}")
 
+    srcs = {}
+    for r in rows:
+        s = srcs.setdefault(r["src"] or "(unattributed)",
+                            {"ms": 0.0, "gb": 0.0, "n": 0})
+        s["ms"] += r["ms"]
+        s["gb"] += r["gb_per_step"]
+        s["n"] += 1
+    print("\nby source op (fusion-root op_name metadata):")
+    for c, v in sorted(srcs.items(), key=lambda kv: -kv[1]["ms"])[:25]:
+        print(f"{v['ms']:9.3f} ms {v['gb']:8.2f} GB  n={v['n']:<4} {c}")
+
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump({"dtype": args.dtype, "steps": args.steps,
                        "total_ms": round(total_ms, 1),
                        "total_gb": round(total_gb, 1),
+                       "by_source": {k: {kk: round(vv, 3) if
+                                         isinstance(vv, float) else vv
+                                         for kk, vv in v.items()}
+                                     for k, v in sorted(
+                                         srcs.items(),
+                                         key=lambda kv: -kv[1]["ms"])},
                        "rows": rows[:200]}, f, indent=1)
         print(f"wrote {args.json_out}")
 
