@@ -1,0 +1,139 @@
+"""XLA compiler-flag sweep on the bf16 serving forward (round 4).
+
+The r4 perf triage (OPTIMIZATIONS.md) closed every USER-PROGRAM lever
+and bounded the remaining gap as "XLA's conv lowering + layout
+assignment, below the user-program level". XLA_FLAGS are the one
+user-accessible knob INTO that level, and no flag configuration was
+ever measured. This sweep times the full bf16 serving forward
+(LPNet + restore, 1120x640 — same program as bench.py's headline) under
+a small set of public TPU flag configs, one subprocess per config
+(flags must be set before jax initializes; a changed flag set also
+changes the compile-cache key, so each config pays its own cold
+compile — the sweep uses a throwaway /tmp cache to keep the committed
+.xla_cache_tpu/ clean).
+
+Flag choices map to the triage's diagnosis:
+  * scoped_vmem_limit_kib raise  -> bigger fusions, fewer HBM round
+    trips (the program is VPU/byte bound, copies are 27% of bytes)
+  * latency_hiding_scheduler     -> overlap the serialized layout DMAs
+    the byte audit attributes ~890 ms of span time to
+  * jf_conv_input_fusion=false   -> alter what XLA fuses into the
+    grouped convs (the #1 time producer with its layout copies)
+
+Usage: python benchmarks/xla_flags_sweep.py [--out artifacts/...json]
+       python benchmarks/xla_flags_sweep.py --child  (internal)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+H, W = 640, 1120
+ITERS = 6
+
+CONFIGS = {
+    "base": "",
+    "vmem_98k": "--xla_tpu_scoped_vmem_limit_kib=98304",
+    "vmem_128k": "--xla_tpu_scoped_vmem_limit_kib=131072",
+    "lhs": "--xla_tpu_enable_latency_hiding_scheduler=true",
+    "no_conv_input_fusion": "--xla_jf_conv_input_fusion=false",
+    "lhs_vmem": ("--xla_tpu_enable_latency_hiding_scheduler=true "
+                 "--xla_tpu_scoped_vmem_limit_kib=98304"),
+}
+
+
+def _child():
+    """Measure one config in this process; print one JSON line."""
+    os.environ["FDN_BENCH_DTYPE"] = "bfloat16"
+    os.environ["FDN_SCAN_UNROLL"] = "5"
+    sys.path.insert(0, os.path.join(_HERE, ".."))
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fdn_tip2025_tpu.models import init_fdn, fdn_forward, init_ipredict
+    from fdn_tip2025_tpu.models.ipredict import ipredict_forward
+
+    rng = np.random.default_rng(0)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    fdn_params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, init_fdn(k1))
+    lp_params = init_ipredict(k2)
+    x = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32), jnp.bfloat16)
+
+    @jax.jit
+    def fwd(fp, lp, x):
+        ratio = ipredict_forward(lp, x.astype(jnp.float32))
+        return fdn_forward(fp, x, ratio.astype(x.dtype))[0]
+
+    t0 = time.perf_counter()
+    fwd(fdn_params, lp_params, x).block_until_ready()
+    compile_s = time.perf_counter() - t0
+    fwd(fdn_params, lp_params, x).block_until_ready()
+
+    ts = []
+    for _ in range(ITERS):
+        t1 = time.perf_counter()
+        fwd(fdn_params, lp_params, x).block_until_ready()
+        ts.append(time.perf_counter() - t1)
+    dt = sorted(ts)[len(ts) // 2]
+    # tunnel-sync guard (see bench.py)
+    t1 = time.perf_counter()
+    float(fwd(fdn_params, lp_params, x)[0, 0, 0, 0])
+    if time.perf_counter() - t1 > 2 * dt:
+        ts = []
+        for _ in range(ITERS):
+            t1 = time.perf_counter()
+            float(fwd(fdn_params, lp_params, x)[0, 0, 0, 0])
+            ts.append(time.perf_counter() - t1)
+        dt = sorted(ts)[len(ts) // 2]
+    print(json.dumps({"mps": round((H * W / 1e6) / dt, 3),
+                      "compile_s": round(compile_s, 1)}))
+
+
+def main():
+    if "--child" in sys.argv:
+        _child()
+        return
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+
+    results = {}
+    for name, flags in CONFIGS.items():
+        env = dict(os.environ)
+        base_flags = env.get("XLA_FLAGS", "")
+        env["XLA_FLAGS"] = (base_flags + " " + flags).strip()
+        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/xla_sweep_cache"
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__), "--child"],
+            env=env, cwd=os.path.join(_HERE, ".."),
+            capture_output=True, text=True, timeout=900)
+        wall = time.perf_counter() - t0
+        if proc.returncode != 0:
+            tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+            results[name] = {"error": " | ".join(tail)[-300:]}
+            print(f"{name:22s} FAILED ({wall:.0f}s): "
+                  f"{results[name]['error'][:120]}", flush=True)
+            continue
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        rec["flags"] = flags
+        results[name] = rec
+        print(f"{name:22s} {rec['mps']:.3f} MP/s "
+              f"(compile {rec['compile_s']:.0f}s, wall {wall:.0f}s)",
+              flush=True)
+
+    print(json.dumps(results), flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

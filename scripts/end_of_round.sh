@@ -1,0 +1,59 @@
+#!/usr/bin/env bash
+# End-of-round ritual (VERDICT-r3 #1/#7): the ordered, literal checklist
+# that makes the two driver artifacts (MULTICHIP_rN, BENCH_rN)
+# unconditionally green. Run AFTER the last code-touching change; commit
+# whatever this updates (caches + fingerprint) as the round's final
+# code-adjacent commit.
+#
+#   scripts/end_of_round.sh            # full ritual
+#   SKIP_SUITE=1 scripts/end_of_round.sh   # if the suite just ran green
+#
+# Steps (docs/ROUND4_PLAN.md item 1):
+#   1. fast test suite green
+#   2. re-warm .xla_cache/ for BOTH dryrun programs (train_step +
+#      spatial_fwd) by running the dryrun subprocess; must finish warm
+#      well inside the driver's budget
+#   3. re-warm .xla_cache_tpu/ for all three bench modes; bench.py must
+#      print all three mode rows non-null
+#   4. tools/hlo_fingerprint.py --update, then verify exit 0
+#   5. print the cache-dir git status so nothing warmed stays untracked
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== [1/5] fast test suite =="
+if [ "${SKIP_SUITE:-0}" != "1" ]; then
+  python -m pytest tests/ -q
+else
+  echo "skipped (SKIP_SUITE=1)"
+fi
+
+echo "== [2/5] dryrun warm check (.xla_cache/: train_step + spatial_fwd) =="
+t0=$(date +%s)
+python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+t1=$(date +%s)
+echo "dryrun wall: $((t1 - t0))s (must be comfortably < 300s warm)"
+if [ $((t1 - t0)) -ge 300 ]; then
+  echo "FAIL: dryrun too slow — cache is cold; investigate before shipping" >&2
+  exit 1
+fi
+
+echo "== [3/5] bench warm check (.xla_cache_tpu/: bf16 + fast + parity) =="
+out=$(FDN_BENCH_BUDGET_S=2400 python bench.py)
+echo "$out"
+python - "$out" <<'EOF'
+import json, sys
+rec = json.loads(sys.argv[1])
+nulls = [k for k, v in rec["modes"].items() if v is None]
+if nulls:
+    raise SystemExit(f"FAIL: bench mode rows null: {nulls} — re-warm .xla_cache_tpu/")
+print("all three mode rows non-null:", rec["modes"])
+EOF
+
+echo "== [4/5] HLO fingerprint stamp =="
+python tools/hlo_fingerprint.py --update
+python tools/hlo_fingerprint.py
+echo "fingerprint: OK (exit 0)"
+
+echo "== [5/5] cache git status (commit anything listed) =="
+git status --short .xla_cache .xla_cache_tpu || true
+echo "RITUAL COMPLETE — commit the caches + fingerprint now."
