@@ -62,8 +62,16 @@ def source_stamp():
 
 
 def _canonical_env():
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
     env = dict(os.environ)
-    # byte-identical to __graft_entry__.dryrun_multichip's subprocess env
+    # byte-identical to __graft_entry__.dryrun_multichip's subprocess env,
+    # including the strip of HLO-shaping vars (pytest's conftest exports
+    # JAX_DEFAULT_MATMUL_PRECISION=highest, which drifts dot precision
+    # attributes — the check must not depend on the caller's shell)
+    for k in g._HLO_ENV_STRIP:
+        env.pop(k, None)
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={N_DEVICES}"
                         " --xla_cpu_max_isa=AVX2")
     env["JAX_PLATFORMS"] = "cpu"
