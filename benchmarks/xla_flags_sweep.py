@@ -20,6 +20,20 @@ Flag choices map to the triage's diagnosis:
   * jf_conv_input_fusion=false   -> alter what XLA fuses into the
     grouped convs (the #1 time producer with its layout copies)
 
+Flag transport (measured, round 4): the axon client's XLA_FLAGS parser
+rejects every TPU-specific flag ("Unknown flag in XLA_FLAGS" — the
+client XLA build doesn't know the libtpu flag set), but BOTH of these
+reach the remote TPU compiler:
+  * LIBTPU_INIT_ARGS: "proto-backed xla_* flags are forwarded
+    per-compile" (axon_host log) — verified by
+    --xla_tpu_scoped_vmem_limit_kib=16 producing a real scoped-VMEM OOM
+    server-side;
+  * per-jit compiler_options={...} via .lower().compile() — verified by
+    a bogus option name being rejected by the remote tpu_compile_helper.
+The sweep uses LIBTPU_INIT_ARGS. Because the flags ride outside jax's
+compile-cache key, every config gets its own throwaway cache dir so
+configs can't poison each other.
+
 Usage: python benchmarks/xla_flags_sweep.py [--out artifacts/...json]
        python benchmarks/xla_flags_sweep.py --child  (internal)
 """
@@ -36,12 +50,14 @@ ITERS = 6
 
 CONFIGS = {
     "base": "",
+    # vmem_98k (--xla_tpu_scoped_vmem_limit_kib=98304): compile does not
+    # finish in 25 min (MSA/fusion search explosion) — recorded as a
+    # timeout in the artifact; higher values and combos pruned.
     "vmem_98k": "--xla_tpu_scoped_vmem_limit_kib=98304",
-    "vmem_128k": "--xla_tpu_scoped_vmem_limit_kib=131072",
     "lhs": "--xla_tpu_enable_latency_hiding_scheduler=true",
     "no_conv_input_fusion": "--xla_jf_conv_input_fusion=false",
-    "lhs_vmem": ("--xla_tpu_enable_latency_hiding_scheduler=true "
-                 "--xla_tpu_scoped_vmem_limit_kib=98304"),
+    "dot_dot_fusion_dup": "--xla_tpu_dot_dot_fusion_duplicated=true",
+    "aggressive_fusion": "--xla_tpu_enable_aggressive_loop_fusion_layout_opt=true",
 }
 
 
@@ -105,16 +121,36 @@ def main():
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
     results = {}
+    if out_path and os.path.exists(out_path):  # resume an aborted sweep
+        with open(out_path) as f:
+            results = json.load(f)
     for name, flags in CONFIGS.items():
+        if name in results:
+            prior = results[name].get("mps")
+            print(f"{name:22s} "
+                  + (f"{prior:.3f} MP/s (cached)" if prior is not None
+                     else f"skipped (prior: {results[name].get('error')})"),
+                  flush=True)
+            continue
         env = dict(os.environ)
-        base_flags = env.get("XLA_FLAGS", "")
-        env["XLA_FLAGS"] = (base_flags + " " + flags).strip()
-        env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/xla_sweep_cache"
+        base_flags = env.get("LIBTPU_INIT_ARGS", "")
+        env["LIBTPU_INIT_ARGS"] = (base_flags + " " + flags).strip()
+        env["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/xla_sweep_cache_{name}"
         t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, "-u", os.path.abspath(__file__), "--child"],
-            env=env, cwd=os.path.join(_HERE, ".."),
-            capture_output=True, text=True, timeout=900)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__), "--child"],
+                env=env, cwd=os.path.join(_HERE, ".."),
+                capture_output=True, text=True,
+                timeout=float(os.environ.get("FDN_SWEEP_CHILD_TIMEOUT", "1500")))
+        except subprocess.TimeoutExpired:
+            results[name] = {"error": "child timeout (compile did not "
+                             "finish)", "flags": flags}
+            print(f"{name:22s} TIMEOUT", flush=True)
+            if out_path:
+                with open(out_path, "w") as f:
+                    json.dump(results, f, indent=1)
+            continue
         wall = time.perf_counter() - t0
         if proc.returncode != 0:
             tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
@@ -128,6 +164,9 @@ def main():
         print(f"{name:22s} {rec['mps']:.3f} MP/s "
               f"(compile {rec['compile_s']:.0f}s, wall {wall:.0f}s)",
               flush=True)
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
 
     print(json.dumps(results), flush=True)
     if out_path:
