@@ -52,6 +52,24 @@ def test_source_stamp_matches_committed():
         "`--update` if it reports drift) BEFORE round end")
 
 
+def test_mode_env_knobs_are_stripped_from_canonical_env():
+    """Every env knob a bench mode (or the Pallas experiment) can set
+    must be in __graft_entry__._HLO_ENV_STRIP, or a caller's shell could
+    change the program the driver compiles/fingerprints (the
+    JAX_DEFAULT_MATMUL_PRECISION incident: pytest's conftest export made
+    the fingerprint check report spurious drift under the suite)."""
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+    import bench
+    knobs = {k for env in bench._MODE_ENV.values() for k in env}
+    knobs |= {"FDN_PALLAS_DW", "JAX_DEFAULT_MATMUL_PRECISION"}
+    missing = knobs - set(g._HLO_ENV_STRIP)
+    assert not missing, (
+        f"HLO-shaping env knobs not stripped by the dryrun/fingerprint "
+        f"canonical env: {sorted(missing)} — add them to "
+        "__graft_entry__._HLO_ENV_STRIP")
+
+
 @pytest.mark.slow
 def test_fingerprint_matches_current_programs():
     """Re-lower the dryrun train step + spatial forward and compare
