@@ -68,8 +68,15 @@ _MODE_ENV = {
 _MODE_KEYS = sorted({k for env in _MODE_ENV.values() for k in env})
 
 
+def _progress(msg):
+    """Stderr progress (stdout stays the single JSON line): if the
+    driver's timeout kills a run, the tail shows which phase hung."""
+    print(f"bench: {msg}", file=sys.stderr, flush=True)
+
+
 def _measure(mode, iters):
     """Compile + time one mode in this process. Returns median MP/s."""
+    t0 = time.perf_counter()
     for k in _MODE_KEYS:
         os.environ.pop(k, None)
     os.environ.update(_MODE_ENV[mode])
@@ -97,14 +104,26 @@ def _measure(mode, iters):
     dtype = jnp.dtype(os.environ.get("FDN_BENCH_DTYPE", "float32"))
 
     rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    fdn_params = init_fdn(k1)
-    lp_params = init_ipredict(k2)
-    if dtype != jnp.float32:
-        fdn_params = jax.tree.map(
-            lambda a: a.astype(dtype)
-            if a.dtype == jnp.float32 else a, fdn_params)
+
+    # ONE jitted program for init + dtype cast. Eagerly, init_fdn is
+    # hundreds of separate dispatches, and through the axon tunnel eager
+    # dispatch is seconds-per-op — measured 452 s of a 484 s bench run
+    # (round 5; the r3/r4 BENCH null-mode rows trace to exactly this).
+    # Jitted it is one executable (persistent-cache hit) + one call.
+    @jax.jit
+    def make_params():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        fp = init_fdn(k1)
+        lp = init_ipredict(k2)
+        if dtype != jnp.float32:
+            fp = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if a.dtype == jnp.float32 else a, fp)
+        return fp, lp
+
+    fdn_params, lp_params = make_params()
+    jax.block_until_ready((fdn_params, lp_params))
+    _progress(f"{mode}: params ready at {time.perf_counter() - t0:.0f}s")
     x = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32), dtype)
 
     @jax.jit
@@ -114,6 +133,7 @@ def _measure(mode, iters):
 
     out = fwd(fdn_params, lp_params, x)
     out.block_until_ready()
+    _progress(f"{mode}: compiled+first-run at {time.perf_counter() - t0:.0f}s")
     for _ in range(WARMUP - 1):
         fwd(fdn_params, lp_params, x).block_until_ready()
 
@@ -126,6 +146,7 @@ def _measure(mode, iters):
         return sorted(ts)[len(ts) // 2]
 
     dt = timed(lambda o: o.block_until_ready())
+    _progress(f"{mode}: timed {iters} iters at {time.perf_counter() - t0:.0f}s")
     # Tunnel-sync guard: through the axon tunnel block_until_ready can
     # return before execution for some programs (observed with Pallas
     # custom calls: a bogus 465 MP/s). Cross-check one iteration with a
@@ -158,19 +179,39 @@ def main():
     # (4 iters) under a wall-clock budget so bench.py can never hang the
     # driver: a mode that doesn't fit the remaining budget reports null.
     budget = float(os.environ.get("FDN_BENCH_BUDGET_S", "420"))
-    t_head = time.perf_counter() - t_start  # compile dominates a mode's
-    modes = {mode: record["value"]}         # cost, so each is ~t_head
+    t_head = time.perf_counter() - t_start
+    modes = {mode: record["value"]}
+    modes_iters = {mode: ITERS}
+    # Cost model: the head mode paid process-wide setup (jax import, TPU
+    # tunnel init) once; later modes pay trace+compile+iters only. Use the
+    # most recent mode's measured wall as the estimate for the next one
+    # (head's wall over-estimates, which is the safe direction), with a
+    # 1.25x safety factor against host/tunnel variance.
+    t_last = t_head
     for other in ("bf16", "fast", "parity"):
         if other == mode:
             continue
-        if time.perf_counter() - t_start + t_head > budget:
+        remaining = budget - (time.perf_counter() - t_start)
+        if 1.25 * t_last > remaining:
             modes[other] = None
+            modes_iters[other] = 0
             continue
+        # VERDICT-r4 #7: secondary rows at 4 iters are noise-level;
+        # spend leftover budget on full-count iters when it clearly fits
+        # (estimated cost well under half the remaining budget).
+        iters = ITERS if 2.5 * t_last < remaining else 4
+        t0 = time.perf_counter()
         try:
-            modes[other] = round(_measure(other, 4), 3)
+            modes[other] = round(_measure(other, iters), 3)
+            modes_iters[other] = iters
+            t_last = time.perf_counter() - t0
         except Exception:
             modes[other] = None
+            modes_iters[other] = 0
     record["modes"] = modes
+    # iteration count per row so cross-round mode deltas are
+    # interpretable (0 = skipped/failed; 4-iter rows are noisy)
+    record["modes_iters"] = modes_iters
     print(json.dumps(record))
 
 

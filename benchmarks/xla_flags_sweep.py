@@ -124,14 +124,20 @@ def main():
     if out_path and os.path.exists(out_path):  # resume an aborted sweep
         with open(out_path) as f:
             results = json.load(f)
+    retry_errors = "--retry-errors" in sys.argv
     for name, flags in CONFIGS.items():
         if name in results:
             prior = results[name].get("mps")
-            print(f"{name:22s} "
-                  + (f"{prior:.3f} MP/s (cached)" if prior is not None
-                     else f"skipped (prior: {results[name].get('error')})"),
-                  flush=True)
-            continue
+            if prior is None and retry_errors:
+                print(f"{name:22s} retrying "
+                      f"(prior: {results[name].get('error')})", flush=True)
+            else:
+                print(f"{name:22s} "
+                      + (f"{prior:.3f} MP/s (cached)" if prior is not None
+                         else f"skipped (prior error; --retry-errors "
+                              f"re-runs): {results[name].get('error')}"),
+                      flush=True)
+                continue
         env = dict(os.environ)
         base_flags = env.get("LIBTPU_INIT_ARGS", "")
         env["LIBTPU_INIT_ARGS"] = (base_flags + " " + flags).strip()
@@ -154,9 +160,13 @@ def main():
         wall = time.perf_counter() - t0
         if proc.returncode != 0:
             tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
-            results[name] = {"error": " | ".join(tail)[-300:]}
+            results[name] = {"error": " | ".join(tail)[-300:],
+                             "flags": flags}
             print(f"{name:22s} FAILED ({wall:.0f}s): "
                   f"{results[name]['error'][:120]}", flush=True)
+            if out_path:
+                with open(out_path, "w") as f:
+                    json.dump(results, f, indent=1)
             continue
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         rec["flags"] = flags

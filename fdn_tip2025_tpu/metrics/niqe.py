@@ -61,6 +61,14 @@ def _block_features(block):
 
 @lru_cache(maxsize=4)
 def _load_pris(path):
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"NIQE pristine-model parameters not found at {path!r}. "
+            "This is DATA (not code) shipped with the reference as "
+            "basicsr/metrics/niqe_pris_params.npz — on a host without "
+            "the /root/reference mount, copy it from any FDN/BasicSR "
+            "checkout (tools/fetch_niqe_params.py validates + installs "
+            "it) and set NIQE_PRIS_PARAMS=/path/to/niqe_pris_params.npz.")
     z = np.load(path)
     return (z["mu_pris_param"], z["cov_pris_param"], z["gaussian_window"])
 

@@ -52,22 +52,52 @@ def test_source_stamp_matches_committed():
         "`--update` if it reports drift) BEFORE round end")
 
 
-def test_mode_env_knobs_are_stripped_from_canonical_env():
-    """Every env knob a bench mode (or the Pallas experiment) can set
-    must be in __graft_entry__._HLO_ENV_STRIP, or a caller's shell could
-    change the program the driver compiles/fingerprints (the
-    JAX_DEFAULT_MATMUL_PRECISION incident: pytest's conftest export made
-    the fingerprint check report spurious drift under the suite)."""
+def test_every_hlo_shaping_env_knob_is_stripped():
+    """ADVICE-r4 medium: the old deny-list covered only the bench-mode
+    knobs; any OTHER FDN_* var read by traced code could leak from the
+    caller's shell into the dryrun/fingerprint (the
+    JAX_DEFAULT_MATMUL_PRECISION incident, generalized). This greps every
+    HLO-shaping tree for FDN_* env reads and asserts strip_hlo_env()
+    removes each one — so adding a new knob anywhere in those trees fails
+    the suite until it is consciously classified (stripped by default;
+    allowlisted only with a no-HLO justification in __graft_entry__)."""
+    import re
     sys.path.insert(0, REPO)
     import __graft_entry__ as g
     import bench
-    knobs = {k for env in bench._MODE_ENV.values() for k in env}
-    knobs |= {"FDN_PALLAS_DW", "JAX_DEFAULT_MATMUL_PRECISION"}
-    missing = knobs - set(g._HLO_ENV_STRIP)
-    assert not missing, (
-        f"HLO-shaping env knobs not stripped by the dryrun/fingerprint "
-        f"canonical env: {sorted(missing)} — add them to "
-        "__graft_entry__._HLO_ENV_STRIP")
+
+    pat = re.compile(r"FDN_[A-Z0-9_]+")
+    found = set()
+    for d in ("ops", "nn", "models", "kernels", "train", "parallel"):
+        root = os.path.join(REPO, "fdn_tip2025_tpu", d)
+        for dirpath, _, names in os.walk(root):
+            for n in names:
+                if not n.endswith(".py"):
+                    continue
+                with open(os.path.join(dirpath, n)) as f:
+                    for line in f:
+                        if "environ" in line:
+                            found |= set(pat.findall(line))
+    # bench-mode knobs are read at trace time too (bench.py docstring)
+    found |= {k for env in bench._MODE_ENV.values() for k in env}
+    assert len(found) >= 20, f"grep looks broken, found only {sorted(found)}"
+
+    env = {k: "1" for k in found}
+    env["JAX_DEFAULT_MATMUL_PRECISION"] = "highest"
+    g.strip_hlo_env(env)
+    leaked = (set(env) & found) - g._HLO_ENV_ALLOW
+    assert not leaked, (
+        f"HLO-shaping env knobs survive strip_hlo_env(): {sorted(leaked)} "
+        "— they must be stripped (or allowlisted in "
+        "__graft_entry__._HLO_ENV_ALLOW with a no-HLO justification)")
+    assert "JAX_DEFAULT_MATMUL_PRECISION" not in env
+    # knobs that ARE read by traced code must never sit in the allowlist
+    # (FDN_NATIVE_LOADER's claim is exactly that no traced tree reads it,
+    # so it failing here would mean the allowlist justification is stale)
+    traced_allowlisted = found & g._HLO_ENV_ALLOW
+    assert not traced_allowlisted, (
+        f"allowlisted env vars are read by HLO-shaping code: "
+        f"{sorted(traced_allowlisted)} — remove them from _HLO_ENV_ALLOW")
 
 
 @pytest.mark.slow

@@ -65,17 +65,15 @@ def _canonical_env():
     sys.path.insert(0, REPO)
     import __graft_entry__ as g
 
-    env = dict(os.environ)
-    # byte-identical to __graft_entry__.dryrun_multichip's subprocess env,
-    # including the strip of HLO-shaping vars (pytest's conftest exports
+    # byte-identical to __graft_entry__.dryrun_multichip's subprocess env:
+    # allowlist-strip every HLO-shaping var (pytest's conftest exports
     # JAX_DEFAULT_MATMUL_PRECISION=highest, which drifts dot precision
     # attributes — the check must not depend on the caller's shell)
-    for k in g._HLO_ENV_STRIP:
-        env.pop(k, None)
+    env = g.strip_hlo_env(dict(os.environ))
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count={N_DEVICES}"
                         " --xla_cpu_max_isa=AVX2")
     env["JAX_PLATFORMS"] = "cpu"
-    env.setdefault("FDN_REMAT", "0")
+    env["FDN_REMAT"] = "0"
     env["FDN_FP_INNER"] = "1"
     return env
 

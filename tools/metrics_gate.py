@@ -110,7 +110,12 @@ def main():
                 v = calculate_ssim(a, b, crop_border=0, ssim3d=True)
             elif m == "niqe":
                 from fdn_tip2025_tpu.metrics.niqe import calculate_niqe
-                v = calculate_niqe((a[..., ::-1] * 255), crop_border=0)
+                try:
+                    v = calculate_niqe((a[..., ::-1] * 255), crop_border=0)
+                except FileNotFoundError as e:
+                    # missing pristine-model npz (data, user-suppliable):
+                    # exit with the acquisition hint, not a traceback
+                    raise SystemExit(f"niqe: {e}")
             elif m == "lpips":
                 v = lpips_fn(a, b)
             else:
