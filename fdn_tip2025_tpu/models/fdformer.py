@@ -53,22 +53,32 @@ def init_fdformer(key, inp_channels=3, out_channels=3, dim=48,
     }
 
 
-def _run_blocks(params, state, att, use_light, use_scan=None):
+def _run_blocks(params, state, att, use_light, use_scan=None,
+                layout="NHWC"):
     """Run a stack of same-shaped TransformerBlocks.
 
     use_scan stacks the per-block param trees and lax.scans one block body
     over them — one traced block instead of N, cutting XLA compile time
     ~N-fold for the 44-block FDformer with identical numerics (the blocks
     are structurally identical within a group).
+
+    layout="NCHW" runs the channel-major block variant (nn/cm_block.py,
+    the level-1 single-layout pipeline): state[0] must already be NCHW,
+    and the scan carry keeps the dense W-minor layout across iterations.
     """
     import os
+    if layout == "NCHW":
+        from fdn_tip2025_tpu.nn.cm_block import transformer_block_nchw
+        block_fn = transformer_block_nchw
+    else:
+        block_fn = transformer_block
     if use_scan is None:
         use_scan = os.environ.get("FDN_UNROLL") != "1"
     n = len(params)
     if not use_scan or n == 1:
         for i in range(n):
-            state = transformer_block(params[str(i)], state, att=att,
-                                      use_light=use_light)
+            state = block_fn(params[str(i)], state, att=att,
+                             use_light=use_light)
         return state
 
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
@@ -76,8 +86,8 @@ def _run_blocks(params, state, att, use_light, use_scan=None):
     x, x_high, x_p, x_img = state
 
     def body(x, blk):
-        x = transformer_block(blk, (x, x_high, x_p, x_img), att=att,
-                              use_light=use_light)[0]
+        x = block_fn(blk, (x, x_high, x_p, x_img), att=att,
+                     use_light=use_light)[0]
         return x, None
 
     # Rematerialize each block in the backward pass: without this,
@@ -104,9 +114,21 @@ def fdformer_forward(params, inp_img, ori_img=None,
                      x1=None, x2=None, x3=None):
     """x_high* = amplitude priors, x_high*2 = phase priors, x* = MAR images,
     each at scales 1x / 2x-down / 4x-down."""
+    import os
+    # FDN_CM_LEVEL1=1 (trace-time): run the full-resolution level-1
+    # chains (enc1, dec1+refinement — 16 of the 44 blocks, at 1x pixels)
+    # in the channel-major NCHW layout (nn/cm_block.py). One transpose
+    # in/out per chain; everything between stays W-minor dense.
+    cm1 = os.environ.get("FDN_CM_LEVEL1") == "1"
     e1 = overlap_patch_embed(params["patch_embed"], inp_img)
-    e1 = _run_blocks(params["encoder_level1"],
-                     (e1, x_high1, x_high12, x1), True, True)[0]
+    if cm1:
+        from fdn_tip2025_tpu.nn.cm_block import to_nchw, from_nchw
+        e1 = from_nchw(_run_blocks(
+            params["encoder_level1"], (to_nchw(e1), x_high1, x_high12, x1),
+            True, True, layout="NCHW")[0])
+    else:
+        e1 = _run_blocks(params["encoder_level1"],
+                         (e1, x_high1, x_high12, x1), True, True)[0]
     e2 = downsample(params["down1_2"], e1)
     e2 = _run_blocks(params["encoder_level2"],
                      (e2, x_high2, x_high22, x2), True, True)[0]
@@ -121,10 +143,20 @@ def fdformer_forward(params, inp_img, ori_img=None,
                      (d2, x_high2, x_high22, x2), True, False)[0]
     d1 = upsample(params["up2_1"], d2)
     d1 = fuse(params["fuse1"], d1, e1, x_high1, x_high12, x1)
-    d1 = _run_blocks(params["decoder_level1"],
-                     (d1, x_high1, x_high12, x1), True, False)[0]
-    d1 = _run_blocks(params["refinement"],
-                     (d1, x_high1, x_high12, x1), True, False)[0]
+    if cm1:
+        d1c = to_nchw(d1)
+        d1c = _run_blocks(params["decoder_level1"],
+                          (d1c, x_high1, x_high12, x1), True, False,
+                          layout="NCHW")[0]
+        d1c = _run_blocks(params["refinement"],
+                          (d1c, x_high1, x_high12, x1), True, False,
+                          layout="NCHW")[0]
+        d1 = from_nchw(d1c)
+    else:
+        d1 = _run_blocks(params["decoder_level1"],
+                         (d1, x_high1, x_high12, x1), True, False)[0]
+        d1 = _run_blocks(params["refinement"],
+                         (d1, x_high1, x_high12, x1), True, False)[0]
     out = conv2d(d1, params["output"]["weight"],
                  params["output"].get("bias"), padding=1)
     return out + (inp_img if ori_img is None else ori_img)

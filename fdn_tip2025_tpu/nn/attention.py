@@ -183,6 +183,20 @@ def fdsa(params, x):
                              b, hh, ww)
 
     dt = t.dtype
+    cat_r, cat_i = _spectral_combine(fr, fi, params["fft"], expand, dt)
+    outs = irfft2_patch8_cm(cat_r.astype(dt), cat_i.astype(dt))
+    # (3E, 64, N)
+    return _fdsa_cm_tail(params, outs, v_value_p, expand, prec, b, hh, ww)
+
+
+def _spectral_combine(fr, fi, fft_param, expand, dt):
+    """The FDSA spectral algebra on channel-major half-spectra.
+
+    fr/fi: (3E, 40, ...) stacked q|k|v spectra. Returns (cat_r, cat_i),
+    each (3E, 40, ...) — the three outputs' spectra concatenated on the
+    major axis, ready for one inverse DFT. Shared by the NHWC fdsa() and
+    the NCHW block variant (nn/cm_block.py).
+    """
     if (dt == jnp.bfloat16
             and os.environ.get("FDN_BF16_PHASE_F32", "0") == "1"):
         # Opt-in f32 island for the phase algebra (default OFF, measured:
@@ -195,7 +209,7 @@ def fdsa(params, x):
     kr, ki = fr[expand:2 * expand], fi[expand:2 * expand]
     vr, vi = fr[2 * expand:], fi[2 * expand:]
 
-    fft_p = param_cm(params["fft"])          # (E, 40, 1)
+    fft_p = param_cm(fft_param, ndim=fr.ndim)   # (E, 40, 1...)
     vr, vi = vr * fft_p, vi * fft_p
     vr, vi = replace_denormals((vr, vi))
 
@@ -224,14 +238,13 @@ def fdsa(params, x):
     # one inverse DFT for all three outputs (major-axis concat is dense)
     cat_r = jnp.concatenate([s1 * qck_r, s2 * vr, s3 * qck_r], axis=0)
     cat_i = jnp.concatenate([s1 * qck_i, s2 * vi, s3 * qck_i], axis=0)
-    outs = irfft2_patch8_cm(cat_r.astype(dt), cat_i.astype(dt))
-    # (3E, 64, N)
-    return _fdsa_cm_tail(params, outs, v_value_p, expand, prec, b, hh, ww)
+    return cat_r, cat_i
 
 
-def _fdsa_cm_tail(params, outs, v_value_p, expand, prec, b, hh, ww):
+def _fdsa_cm_tail(params, outs, v_value_p, expand, prec, b, hh, ww,
+                  out_layout="NHWC"):
     """Shared channel-major FDSA tail: per-output LN, v_value gate,
-    1x1 projection, back to NHWC."""
+    1x1 projection, back to NHWC (or NCHW for the cm_block pipeline)."""
     n1, n2, n3 = (params["norm1"]["body"], params["norm2"]["body"],
                   params["norm3"]["body"])
     out = jnp.concatenate([
@@ -250,4 +263,7 @@ def _fdsa_cm_tail(params, outs, v_value_p, expand, prec, b, hh, ww):
     pb = params["project_out"].get("bias")
     if pb is not None:
         proj = proj + pb.reshape((-1,) + (1,) * (proj.ndim - 1))
+    if out_layout == "NCHW":
+        from fdn_tip2025_tpu.ops.fourier import from_patches_cm_nchw
+        return from_patches_cm_nchw(proj, b, hh, ww)
     return from_patches_cm(proj, b, hh, ww)

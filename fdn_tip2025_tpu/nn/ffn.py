@@ -265,17 +265,26 @@ def _fcaffn_spectral_cm(params, x, x_high, xp2):
     and the LayerNorm gate runs over the leading axis. One transpose in,
     one out. f32 only (the bf16 path keeps the packed-lane NHWC form).
     """
+    xc = jnp.transpose(x, (3, 0, 1, 2))           # (C, B, H, W)
+    gated = _fcaffn_spectral_core_cm(params, xc, x_high, xp2)
+    return jnp.transpose(gated, (1, 2, 3, 0))     # back to NHWC
+
+
+def _fcaffn_spectral_core_cm(params, xc, x_high, xp2):
+    """The spectral segment on channel-major input/output (C, B, H, W) —
+    shared by the NHWC wrapper above and the NCHW block pipeline
+    (nn/cm_block.py, which enters via a free (1,C,H,W)->(C,1,H,W)
+    reshape at serving batch 1)."""
     from fdn_tip2025_tpu.ops.fourier import _dft1d
     from fdn_tip2025_tpu.ops.precision import dot_precision
     from fdn_tip2025_tpu.ops import layer_norm_cm
-    b, h, w, ch = x.shape
+    ch, b, h, w = xc.shape
     wf = w // 2 + 1
-    prec = dot_precision(x.dtype)
-    xc = jnp.transpose(x, (3, 0, 1, 2))           # (C, B, H, W)
+    prec = dot_precision(xc.dtype)
     cw, sw = _dft1d(w, wf)
     chm, shm = _dft1d(h)
-    if x.dtype != jnp.float32:  # bf16 serving: DFT factors in bf16 too
-        cw, sw, chm, shm = (m.astype(x.dtype) for m in (cw, sw, chm, shm))
+    if xc.dtype != jnp.float32:  # bf16 serving: DFT factors in bf16 too
+        cw, sw, chm, shm = (m.astype(xc.dtype) for m in (cw, sw, chm, shm))
     tr = jnp.einsum("cbhw,wf->cbhf", xc, cw, precision=prec)
     ti = jnp.einsum("cbhw,wf->cbhf", xc, sw, precision=prec)
     fr = jnp.einsum("hu,cbhf->cbuf", chm, tr, precision=prec) - \
@@ -302,8 +311,8 @@ def _fcaffn_spectral_cm(params, x, x_high, xp2):
     # drops the flip/roll/concat relayouts of the level-1 spectrum.
     from fdn_tip2025_tpu.ops.fourier import _irdft1d_half
     cwh, swh = _irdft1d_half(w)
-    if x.dtype != jnp.float32:
-        cwh, swh = cwh.astype(x.dtype), swh.astype(x.dtype)
+    if xc.dtype != jnp.float32:
+        cwh, swh = cwh.astype(xc.dtype), swh.astype(xc.dtype)
     t2r = jnp.einsum("cbuv,vw->cbuw", out_r, cwh, precision=prec) - \
         jnp.einsum("cbuv,vw->cbuw", out_i, swh, precision=prec)
     t2i = jnp.einsum("cbuv,vw->cbuw", out_r, swh, precision=prec) + \
@@ -311,5 +320,4 @@ def _fcaffn_spectral_cm(params, x, x_high, xp2):
     inv = (jnp.einsum("uh,cbuw->cbhw", chm, t2r, precision=prec) +
            jnp.einsum("uh,cbuw->cbhw", shm, t2i, precision=prec)) / (h * w)
     nb = params["norm"]["body"]
-    gated = layer_norm_cm(inv, nb["weight"], nb["bias"]) * xc + xc
-    return jnp.transpose(gated, (1, 2, 3, 0))     # back to NHWC
+    return layer_norm_cm(inv, nb["weight"], nb["bias"]) * xc + xc

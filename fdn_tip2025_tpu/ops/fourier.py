@@ -615,6 +615,18 @@ def to_patches_cm_nchw(x):
     return xt.reshape(c, 64, b * (h // 8) * (w // 8))
 
 
+def from_patches_cm_nchw(y, b, h, w):
+    """(C, 64, B*hb*wb) -> (B, C, H, W): inverse of
+    :func:`to_patches_cm_nchw`. The channel axis stays in place through
+    the permutation (only patch/grid dims move), so XLA lowers it far
+    more cheaply than the NHWC inverse — the exit path of the
+    channel-major block pipeline (nn/cm_block.py)."""
+    c = y.shape[0]
+    y6 = y.reshape(c, 8, 8, b, h // 8, w // 8)
+    x = y6.transpose(3, 0, 4, 1, 5, 2)  # (b, c, hb, p1, wb, p2)
+    return x.reshape(b, c, h, w)
+
+
 def rfft2_patch8_cm(x):
     """Patch rfft2 on channel-major patches.
 

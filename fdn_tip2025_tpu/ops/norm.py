@@ -55,6 +55,27 @@ def layer_norm_cm(x, weight, bias=None, eps=1e-5):
     return (x - mu.astype(x.dtype)) * inv * w + bias.reshape(bshape)
 
 
+def layer_norm_nchw(x, weight, bias=None, eps=1e-5):
+    """Channel LayerNorm for NCHW tensors (B, C, H, W), channel axis 1.
+
+    Same semantics as :func:`layer_norm_2d` / :func:`layer_norm_cm`
+    (biased variance, eps 1e-5, f32 statistics for bf16 activations) —
+    the norm of the channel-major block pipeline (nn/cm_block.py), where
+    H/W stay dense in the minor dims and the reduction runs over the
+    second-major axis.
+    """
+    xs = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    bshape = (1, -1) + (1,) * (x.ndim - 2)
+    w = weight.reshape(bshape)
+    if bias is None:
+        var = jnp.var(xs, axis=1, keepdims=True).astype(x.dtype)
+        return x / jnp.sqrt(var + eps) * w
+    mu = jnp.mean(xs, axis=1, keepdims=True)
+    var = jnp.var(xs, axis=1, keepdims=True)
+    inv = (1.0 / jnp.sqrt(var + eps)).astype(x.dtype)
+    return (x - mu.astype(x.dtype)) * inv * w + bias.reshape(bshape)
+
+
 def batch_norm_inference(x, weight, bias, running_mean, running_var, eps=1e-5):
     """torch.nn.BatchNorm2d in eval mode (running statistics)."""
     inv = weight / jnp.sqrt(running_var + eps)
