@@ -38,8 +38,19 @@ if [ $((t1 - t0)) -ge 300 ]; then
 fi
 
 echo "== [3/5] bench warm check (.xla_cache_tpu/: bf16 + fast + parity) =="
-out=$(FDN_BENCH_BUDGET_S=2400 python bench.py)
+# VERDICT-r4 #2: validate with the DRIVER'S exact default env (no
+# FDN_BENCH_BUDGET_S override — r4's ritual tested at 2400 s and the
+# driver's default-budget run nulled two rows). Wall-clock context: the
+# known driver kill observed so far is rc-124 at ~560 s (MULTICHIP r3);
+# bench runs of 4-7 min have been recorded by the driver with rc 0.
+# The tunnel's xplane-pull/stall variance is 1-9 min and outside our
+# control, so the gate is: all rows non-null, warn > 300 s,
+# fail > 480 s (re-run — a second attempt usually lands 2-4 min).
+t0=$(date +%s)
+out=$(python bench.py)
+bench_wall=$(( $(date +%s) - t0 ))
 echo "$out"
+echo "bench wall: ${bench_wall}s (warn >300, fail >480)"
 python - "$out" <<'EOF'
 import json, sys
 rec = json.loads(sys.argv[1])
@@ -48,6 +59,12 @@ if nulls:
     raise SystemExit(f"FAIL: bench mode rows null: {nulls} — re-warm .xla_cache_tpu/")
 print("all three mode rows non-null:", rec["modes"])
 EOF
+if [ "$bench_wall" -gt 480 ]; then
+  echo "FAIL: bench took ${bench_wall}s (>480s) — tunnel in a stall state; re-run" >&2
+  exit 1
+elif [ "$bench_wall" -gt 300 ]; then
+  echo "WARN: bench took ${bench_wall}s (>300s) — acceptable but watch the tunnel"
+fi
 
 echo "== [4/5] HLO fingerprint stamp =="
 python tools/hlo_fingerprint.py --update
