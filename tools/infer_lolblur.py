@@ -36,7 +36,10 @@ def main():
     ap.add_argument("--fdn-ckpt", default=None,
                     help=".pth or native checkpoint (random init if absent)")
     ap.add_argument("--lpnet-ckpt",
-                    default="/root/reference/checkpoint/LPNet_lolblur.pth")
+                    default="/root/reference/checkpoint/LPNet_lolblur.pth",
+                    help="LPNet .pth; 'random' = deterministic "
+                         "PRNGKey-seeded init (golden-fixture tests run "
+                         "without the reference mount)")
     ap.add_argument("--variant", default="lolblur",
                     choices=["lolblur", "lolv1"])
     ap.add_argument("--dtype", default="float32",
@@ -51,8 +54,9 @@ def main():
     paths = sorted(glob.glob(args.input))
     if not paths:
         raise SystemExit(f"no inputs match {args.input}")
+    lpnet = None if args.lpnet_ckpt in ("random", "") else args.lpnet_ckpt
     pred = FDNPredictor(variant=args.variant, fdn_ckpt=args.fdn_ckpt,
-                        lpnet_ckpt=args.lpnet_ckpt,
+                        lpnet_ckpt=lpnet,
                         dtype=jnp.dtype(args.dtype))
 
     # Pipelined dataset sweep: uint8 wire format (decode bytes ship

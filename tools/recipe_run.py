@@ -127,9 +127,12 @@ def main():
                             f"net_g_{args.mar_iters}")
     if not (args.skip_mar and os.path.isdir(mar_ckpt)):
         cfg = os.path.join(args.root, "mar.yml")
+        # MARLoss carries a 10x VGG term (reference losses.py:764-774) —
+        # the random-init VGG keeps the MAR recipe 3-term-shaped too
         write_cfg(cfg, "recipe_MAR", "ImageRestorationModel_ipretrain",
                   args.root, args.mar_iters, 1e-4, crop=args.crop,
-                  batch=8, val_freq=args.mar_iters)
+                  batch=8, val_freq=args.mar_iters,
+                  extra_path=[f"  vgg_weights: {vgg_pth}"])
         print(f"stage 1: MAR {args.mar_iters} iters ...", flush=True)
         t0 = time.time()
         log = run_stage(cfg, os.path.join(args.root, "mar.log"))
