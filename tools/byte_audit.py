@@ -29,6 +29,7 @@ import os
 import re
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -126,14 +127,20 @@ def main():
     H, W = args.height, args.width
     dtype = jnp.dtype(args.dtype)
     rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
-    fdn_params = init_fdn(k1)
-    if dtype != jnp.float32:
-        fdn_params = jax.tree.map(
-            lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
-            fdn_params)
-    lp_params = init_ipredict(k2)
+
+    # jitted init: eager init_fdn through the axon tunnel is
+    # seconds-per-op (bench.py round-5 note — 450 s observed)
+    @jax.jit
+    def make_params():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        fp = init_fdn(k1)
+        if dtype != jnp.float32:
+            fp = jax.tree.map(
+                lambda a: a.astype(dtype)
+                if a.dtype == jnp.float32 else a, fp)
+        return fp, init_ipredict(k2)
+
+    fdn_params, lp_params = make_params()
     x = jnp.asarray(rng.random((1, H, W, 3)), dtype)
 
     def fwd(fp, lp, x):
@@ -158,7 +165,10 @@ def main():
     jax.profiler.start_trace(logdir)
     for _ in range(args.steps):
         out = compiled(fdn_params, lp_params, x)
-    _ = float(out[0, 0, 0, 0])  # real D2H sync inside the trace
+        time.sleep(3.0)  # pace dispatches; deep queues stall the tunnel
+    # jitted-sum sync (an eager element fetch can stall for minutes
+    # through the tunnel — bench.py round-5 note)
+    float(jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))(out))
     jax.profiler.stop_trace()
 
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
