@@ -108,7 +108,8 @@ class BaseTrainer:
                                                              -1)), base_lr)
         self.tx = build_optimizer(
             train_opt["optim_g"], self.schedule,
-            use_grad_clip=train_opt.get("use_grad_clip", True))
+            use_grad_clip=train_opt.get("use_grad_clip", True),
+            skip_nonfinite=train_opt.get("skip_nonfinite", True))
         self.vgg_params = vgg_params
         self.perceptual = None
         if vgg_params is not None:
@@ -171,6 +172,10 @@ class BaseTrainer:
             self._wrapped_loss_fn(), has_aux=True)(trainable, frozen, batch)
         updates, opt_state = self.tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
+        if hasattr(opt_state, "total_notfinite"):
+            # skipped-update counter from the apply_if_finite guard
+            # (train/optim.py) — lands in the training log via aux
+            aux = dict(aux, n_nonfinite_total=opt_state.total_notfinite)
         return trainable, opt_state, aux
 
     def _train_step_accum(self, trainable, opt_state, frozen, batch):

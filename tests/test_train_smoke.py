@@ -78,3 +78,35 @@ def test_fdn_trainer_step(rng):
     assert np.isfinite(float(aux["l_total"]))
     mar_after = np.asarray(flatten(tr.frozen)["net_a.net.f3.0.weight"])
     np.testing.assert_array_equal(mar_before, mar_after)
+
+
+def test_nonfinite_gradient_step_is_skipped(rng):
+    """Round-5 guard (train/optim.py apply_if_finite): a batch whose
+    gradients go non-finite must apply NO update (instead of NaN'ing
+    every weight through the global-norm clip — observed for real at
+    iter ~3200 of the 5k recipe run), surface a skip counter, and the
+    next clean batch must train normally."""
+    mesh = make_mesh(8)
+    tr = create_trainer(_opt("ImageRestorationModel_ipretrain", 1e-4),
+                        mesh=mesh)
+    clean = _batch(rng, 8, 32)
+    tr.train_step(clean)
+    before = {k: np.asarray(v).copy()
+              for k, v in flatten(tr.trainable).items()}
+
+    bad = {k: v.copy() for k, v in clean.items()}
+    bad["gt"][0, 0, 0, 0] = np.nan  # NaN loss -> NaN grads
+    aux = tr.train_step(bad)
+    assert int(aux["n_nonfinite_total"]) == 1
+    after = flatten(tr.trainable)
+    for k in before:
+        np.testing.assert_array_equal(before[k], np.asarray(after[k]),
+                                      err_msg=f"{k} changed on a "
+                                              "non-finite step")
+
+    aux = tr.train_step(clean)
+    assert np.isfinite(float(aux["l_total"]))
+    assert int(aux["n_nonfinite_total"]) == 1  # no new skips
+    changed = any(not np.allclose(before[k], np.asarray(flatten(
+        tr.trainable)[k])) for k in before)
+    assert changed, "clean step after a skipped step did not update"
