@@ -80,8 +80,15 @@ def torch_reference_outputs(fdn_ckpt, out_dir):
                    for p in ins])
     pred = FDNPredictor(variant="lolblur", fdn_ckpt=fdn_ckpt,
                         lpnet_ckpt=None)  # deterministic PRNGKey(0) LPNet
-    ratio = pred.predict_ratio(lq).astype(np.float32)
-    ref = reference_forward(fdn_ckpt, lq, ratio)
+    # reference protocol: reflect-pad to x32 FIRST, ratio from the
+    # padded image, forward, crop back (inference_fdn_lolblur.py:60-72;
+    # our CLI's internal ratio=None path does the same)
+    h, w = lq.shape[1:3]
+    ph, pw = (-h) % 32, (-w) % 32
+    lq_pad = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                    mode="reflect")
+    ratio = pred.predict_ratio(lq_pad).astype(np.float32)
+    ref = reference_forward(fdn_ckpt, lq_pad, ratio)[:, :h, :w]
     ref_dir = os.path.join(out_dir, "ref_out", "0001")
     os.makedirs(ref_dir, exist_ok=True)
     for p, img in zip(ins, ref):
